@@ -1,0 +1,158 @@
+"""Command-line entry points.
+
+The reference's "CLI" is a hardcoded main() (main.cpp:15-30: fixed 500x500
+window, fixed scene path).  Here every knob the reference buried in shader
+constants is a flag, and scene XML film/sampler/integrator settings are
+honored by default (the reference parses but ignores them, SURVEY.md §5.6).
+
+  gpuspectral render <scene.xml> [-o out.png] [--spp N] [--size WxH] ...
+  gpuspectral benchmark <scene.xml> [...]
+  gpuspectral gradcheck <scene.xml> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("scene", help="Mitsuba XML scene file")
+    p.add_argument("-o", "--output", default="out.png", help="output image (.png/.pfm/.exr)")
+    p.add_argument("--spp", type=int, default=None, help="samples per pixel (default: scene XML)")
+    p.add_argument("--size", default=None, help="WxH (default: scene XML film)")
+    p.add_argument("--depth", type=int, default=None, help="max path depth (default: 50)")
+    p.add_argument("--no-nee", action="store_true", help="disable next-event estimation")
+    p.add_argument("--jitter", action="store_true", help="subpixel jitter antialiasing")
+    p.add_argument("--tonemap", action="store_true", help="ACES filmic tonemap for PNG")
+    p.add_argument("--seed", type=int, default=0, help="base timestamp / frame seed")
+    p.add_argument("--ray-batch", type=int, default=65536)
+    p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
+
+
+class CliError(RuntimeError):
+    pass
+
+
+def _build(args):
+    import os
+
+    from ..scene import load_mitsuba_scene
+    from ..utils import RenderConfig
+
+    if not os.path.exists(args.scene):
+        raise CliError(f"scene file not found: {args.scene}")
+    scene, builder = load_mitsuba_scene(args.scene)
+    width, height = builder.film_width, builder.film_height
+    if args.size:
+        try:
+            width, height = (int(x) for x in args.size.lower().split("x"))
+        except ValueError:
+            raise CliError(f"--size expects WxH (e.g. 512x512), got: {args.size}")
+    cfg = RenderConfig(
+        width=width,
+        height=height,
+        spp=args.spp if args.spp is not None else builder.film_spp,
+        max_depth=args.depth if args.depth is not None else 50,
+        nee=not args.no_nee,
+        jitter=args.jitter,
+        ray_batch=args.ray_batch,
+    )
+    return scene, cfg
+
+
+def _write(path: str, img, tonemap: bool) -> None:
+    from ..io import write_exr, write_pfm, write_png
+
+    if path.endswith(".pfm"):
+        write_pfm(path, img)
+    elif path.endswith(".exr"):
+        write_exr(path, img)
+    else:
+        write_png(path, img, tonemap=tonemap)
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from ..integrator import render_image
+    from ..utils.metrics import MetricsLogger
+
+    scene, cfg = _build(args)
+    log = MetricsLogger(args.metrics)
+    print(
+        f"rendering {args.scene}: {cfg.width}x{cfg.height} @ {cfg.spp} spp, "
+        f"depth {cfg.max_depth}, nee={cfg.nee}, tris={scene.num_tris}, "
+        f"lights={scene.num_lights}",
+        file=sys.stderr,
+    )
+    t0 = time.time()
+    img = render_image(scene, cfg, timestamp0=args.seed)
+    img = np.asarray(img)
+    dt = time.time() - t0
+    rays = cfg.width * cfg.height * cfg.spp * (cfg.max_depth + 1)
+    log.log(
+        event="render",
+        scene=args.scene,
+        width=cfg.width,
+        height=cfg.height,
+        spp=cfg.spp,
+        seconds=dt,
+        mrays_per_s_upper=rays / dt / 1e6,
+    )
+    print(f"done in {dt:.2f}s (<= {rays / dt / 1e6:.1f} Mrays/s incl. compile)", file=sys.stderr)
+    _write(args.output, img, args.tonemap)
+    print(args.output)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from ..utils.bench import run_benchmark
+
+    result = run_benchmark(args)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_gradcheck(args) -> int:
+    from ..diff.gradcheck import run_gradcheck
+
+    ok, report = run_gradcheck(args.scene, spp=args.spp or 64, size=args.size)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gpuspectral", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_render = sub.add_parser("render", help="render a scene to an image")
+    _add_render_args(p_render)
+    p_render.set_defaults(fn=cmd_render)
+
+    p_bench = sub.add_parser("benchmark", help="measure Mrays/s on a scene")
+    _add_render_args(p_bench)
+    p_bench.add_argument("--warmup", type=int, default=1)
+    p_bench.add_argument("--iters", type=int, default=3)
+    p_bench.set_defaults(fn=cmd_bench_wrapper)
+
+    p_grad = sub.add_parser("gradcheck", help="check path-replay grads vs finite differences")
+    _add_render_args(p_grad)
+    p_grad.set_defaults(fn=cmd_gradcheck)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def cmd_bench_wrapper(args) -> int:
+    return cmd_benchmark(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,375 @@
+"""Wavefront path tracer.
+
+This module is the TPU equivalent of the reference's RT pipeline: the raygen
+bounce loop (raygen.rgen:29-108) and the closest-hit shading
+(rayhit.rchit:666-797) re-expressed as one vectorized bounce step iterated
+with `lax.scan` over a static depth bound.  Per-ray SIMT recursion becomes
+per-wavefront dense math with masks; `traceRayEXT` becomes the intersection
+kernels in ops/intersect.py (and bvh/ for large scenes).
+
+Faithfully reproduced reference semantics (file:line cites):
+  * firefly clamp: drop bounce contributions with any channel >= 20
+    (raygen.rgen:60-63)
+  * Russian roulette after depth 10, q = clamp(max weight, 0.05, 1)
+    (raygen.rgen:66-71)
+  * NEE with power-heuristic MIS and the countEmitted/wasDelta/directWeight
+    emitter bookkeeping (rayhit.rchit:730-796)
+  * two-faced normal flip only for non-emitting instances
+    (rayhit.rchit:698-707)
+  * invalid-hemisphere / self-intersection / non-finite terminations
+    (rayhit.rchit:770-784)
+  * shadow-ray epsilon 0.01, origin offset 1e-4 along the face-forward
+    geometric normal (rayhit.rchit:745-747,793)
+  * progressive accumulation as a running mean over timestamps with NaN
+    guard (raygen.rgen:84-108)
+
+Deliberate deviations (documented in ops/rng.py): uniforms are counter-based
+draws rather than a sequential PCG stream, and light/BSDF sampling consume a
+fixed channel layout per bounce:
+
+  ch 0..2  bsdf (select, u1, u2)
+  ch 3     light index bits
+  ch 4..5  light triangle (u1, u2)
+  ch 6     russian roulette
+  ch 7..8  subpixel jitter (when enabled)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf.dispatch import eval_bsdf, is_transmission, sample_bsdf
+from ..ops import intersect as isect
+from ..ops import math3d as m3
+from ..ops import rng
+from ..ops import sampling as smp
+from ..scene.camera import generate_rays
+from ..scene.data import SceneData
+from ..utils.config import RenderConfig
+
+# RNG channel layout per bounce
+CH_BSDF_SELECT = 0
+CH_BSDF_U1 = 1
+CH_BSDF_U2 = 2
+CH_LIGHT_INDEX = 3
+CH_LIGHT_U1 = 4
+CH_LIGHT_U2 = 5
+CH_RR = 6
+CH_JITTER_X = 7
+CH_JITTER_Y = 8
+
+
+def _gather_tri(scene: SceneData, prim):
+    """Gather per-triangle shading data for (possibly miss=-1) prim ids."""
+    safe = jnp.maximum(prim, 0)
+    return (
+        scene.tri_pos[safe],  # (R,3,3)
+        scene.tri_nrm[safe],  # (R,3,3)
+        scene.bsdf_params[scene.tri_bsdf[safe]],  # (R,P)
+        scene.bsdf_kind[scene.tri_bsdf[safe]],  # (R,)
+        scene.tri_emission[safe],  # (R,3)
+        scene.tri_twofaced[safe],  # (R,)
+    )
+
+
+def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
+    """One wavefront bounce. `state` is a dict of per-ray arrays."""
+    origin, direction = state["origin"], state["direction"]
+    seed = state["seed"]
+    alive = ~state["done"]
+
+    t, prim, bu, bv = isect.intersect_closest(
+        origin,
+        direction,
+        scene.tri_pos,
+        active=alive,
+        tri_chunk=cfg.tri_chunk,
+    )
+    hit = (prim >= 0) & alive
+    miss = (~(prim >= 0)) & alive
+
+    pos_c, nrm_c, bparams, bkind, emission, twofaced = _gather_tri(scene, prim)
+
+    # hit position along the ray (rayhit.rchit:692).  Miss lanes carry
+    # t = 1e30; clamp them to keep downstream math (and its *gradients*)
+    # finite — their contributions are masked out anyway.
+    t_safe = jnp.where(hit, t, 1.0)
+    position = origin + direction * t_safe[..., None]
+
+    # geometric + shading normals (rayhit.rchit:690-694)
+    bw = 1.0 - bu - bv
+    sn = m3.normalize(
+        bw[..., None] * nrm_c[:, 0] + bu[..., None] * nrm_c[:, 1] + bv[..., None] * nrm_c[:, 2]
+    )
+    gn = m3.normalize(jnp.cross(pos_c[:, 1] - pos_c[:, 0], pos_c[:, 2] - pos_c[:, 0]))
+
+    # two-faced flip for non-emitters viewed from behind (rayhit.rchit:698-707)
+    backface = m3.dot(gn, -direction) < 0.0
+    emissive = jnp.any(emission != 0.0, axis=-1)
+    flip = backface & twofaced & (~emissive)
+    gn = jnp.where(flip[..., None], -gn, gn)
+    sn = jnp.where(flip[..., None], -sn, sn)
+
+    # shading frame (rayhit.rchit:712-713)
+    tg, bn, nn = m3.onb_create(sn)
+    wo = m3.normalize(m3.onb_world_to_local(tg, bn, nn, -direction))
+
+    # BSDF sampling (rayhit.rchit:714-718)
+    u_sel = rng.uniform(seed, bounce, CH_BSDF_SELECT)
+    u1 = rng.uniform(seed, bounce, CH_BSDF_U1)
+    u2 = rng.uniform(seed, bounce, CH_BSDF_U2)
+    wi_local, f, pdf, delta = sample_bsdf(bparams, bkind, wo, u_sel, u1, u2)
+    now = jnp.abs(wi_local[..., 2])
+    wi_world = m3.onb_local_to_world(tg, bn, nn, wi_local)
+
+    transmission = is_transmission(bkind)
+
+    # light sampling (rayhit.rchit:147-153,720-729)
+    lbits = rng.random_bits(seed, bounce, CH_LIGHT_INDEX)
+    lidx = (lbits % jnp.uint32(scene.num_lights)).astype(jnp.int32)
+    lv = scene.light_pos[lidx]  # (R,3,3)
+    lemit = scene.light_emission[lidx]
+    lu1 = rng.uniform(seed, bounce, CH_LIGHT_U1)
+    lu2 = rng.uniform(seed, bounce, CH_LIGHT_U2)
+    light_pos, light_emitted, light_pdf = smp.sample_triangle_light(
+        lv[:, 0], lv[:, 1], lv[:, 2], lemit, position, lu1, lu2
+    )
+    light_pdf = light_pdf / scene.num_lights
+
+    ldelta = light_pos - position
+    ldist = m3.length(ldelta)
+    ldir = ldelta / jnp.maximum(ldist, 1e-12)[..., None]
+    w_light_local = m3.onb_world_to_local(tg, bn, nn, ldir)
+    nol = jnp.abs(m3.dot(sn, ldir))
+    f_light, _light_eval_pdf, _ = eval_bsdf(bparams, bkind, wo, w_light_local)
+
+    # NEE eligibility (rayhit.rchit:734-736)
+    front_ok = (m3.dot(gn, -direction) > 0.0) & (m3.dot(gn, ldir) > 0.0)
+    nee_candidate = cfg.nee & hit & (~delta) & (front_ok | transmission)
+
+    shadowed = isect.intersect_any(
+        position,
+        ldir,
+        scene.tri_pos,
+        t_min=cfg.shadow_epsilon,
+        t_max=ldist - cfg.shadow_epsilon,
+        active=nee_candidate,
+        tri_chunk=cfg.tri_chunk,
+    )
+    nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
+
+    emitted = jnp.zeros_like(origin)
+    w_mis = smp.power_heuristic(light_pdf, pdf)
+    nee_contrib = (
+        w_mis[..., None]
+        * nol[..., None]
+        * f_light
+        * state["weight"]
+        * light_emitted
+        / jnp.maximum(light_pdf, 1e-12)[..., None]
+    )
+    emitted = emitted + jnp.where(nee_done[..., None], nee_contrib, 0.0)
+
+    # emitter accumulation with MIS bookkeeping (rayhit.rchit:760-768)
+    light_flag = (m3.dot(gn, -direction) > 0.0).astype(jnp.float32)
+    ce = state["count_emitted"]
+    wd = state["was_delta"]
+    self_emit = emission * light_flag[..., None] * state["weight"]
+    if cfg.nee:
+        emitted = emitted + jnp.where(
+            ((~ce) & (~wd))[..., None], state["direct_weight"][..., None] * self_emit, 0.0
+        )
+        emitted = emitted + jnp.where((ce | wd)[..., None], self_emit, 0.0)
+    else:
+        emitted = emitted + self_emit
+    emitted = jnp.where(hit[..., None], emitted, 0.0)
+
+    # path termination tests (rayhit.rchit:770-784)
+    invalid_hemi = (m3.dot(wi_world, gn) <= 0.0) & (~transmission)
+    self_isect = (m3.dot(gn, -direction) <= 0.0) & (~transmission)
+    bad_pdf = (~jnp.isfinite(pdf)) | (~m3.is_finite3(f)) | (pdf == 0.0)
+    terminate = hit & (invalid_hemi | self_isect | bad_pdf)
+
+    # MIS weight carried to the next emitter hit (rayhit.rchit:785-790)
+    new_direct_weight = jnp.where(nee_done, smp.power_heuristic(pdf, light_pdf), 1.0)
+
+    # next ray state (rayhit.rchit:792-796)
+    offset_n = m3.faceforward(gn, -wi_world, gn)
+    new_origin = position + cfg.origin_epsilon * offset_n
+    new_weight = state["weight"] * f * (now * _safe_inv(pdf))[..., None]
+
+    cont = hit & (~terminate)
+    state_out = dict(state)
+    # instrumentation: closest-hit rays for every alive lane + shadow rays
+    # (metrics the reference never reports, SURVEY.md §5.5)
+    state_out["rays_traced"] = (
+        state["rays_traced"] + alive.astype(jnp.int32) + nee_candidate.astype(jnp.int32)
+    )
+    state_out["origin"] = jnp.where(cont[..., None], new_origin, origin)
+    state_out["direction"] = jnp.where(cont[..., None], wi_world, direction)
+    state_out["weight"] = jnp.where(cont[..., None], new_weight, state["weight"])
+    state_out["direct_weight"] = jnp.where(cont, new_direct_weight, state["direct_weight"])
+    state_out["was_delta"] = jnp.where(cont, delta, wd)
+    state_out["count_emitted"] = jnp.where(cont, False, ce)
+    state_out["done"] = state["done"] | miss | terminate
+
+    # raygen side: firefly clamp + accumulate (raygen.rgen:60-63)
+    keep = jnp.all(emitted < cfg.firefly_clamp, axis=-1)
+    state_out["radiance"] = state["radiance"] + jnp.where(
+        (alive & keep)[..., None], emitted, 0.0
+    )
+
+    # Russian roulette (raygen.rgen:66-71)
+    if_rr = bounce > cfg.rr_start_depth
+    q = jnp.clip(jnp.max(state_out["weight"], axis=-1), cfg.rr_clamp_min, 1.0)
+    u_rr = rng.uniform(seed, bounce, CH_RR)
+    rr_kill = if_rr & (u_rr > q)
+    state_out["weight"] = jnp.where(
+        (if_rr & ~rr_kill)[..., None], state_out["weight"] / q[..., None], state_out["weight"]
+    )
+    state_out["done"] = state_out["done"] | rr_kill
+    return state_out
+
+
+def _safe_inv(x, eps=1e-12):
+    return 1.0 / jnp.maximum(x, eps)
+
+
+def trace_rays(
+    scene: SceneData,
+    cfg: RenderConfig,
+    origin,
+    direction,
+    seed,
+    differentiable: bool = False,
+):
+    """Trace a batch of rays to completion.
+
+    Returns (radiance (R,3), rays_traced (R,) int32) — the latter counts
+    closest-hit + shadow rays actually issued per lane.
+
+    Two loop forms over the same bounce step:
+      * `lax.while_loop` with an all-lanes-done early exit (default): the
+        wavefront stops as soon as every path has terminated, which at
+        depth 50 skips the vast majority of iterations (mean path length in
+        closed scenes is a handful of bounces).
+      * `lax.scan` over a static depth bound with per-bounce rematerialization
+        (`differentiable=True`): reverse-mode path-replay backprop needs a
+        reversible loop; `jax.checkpoint` makes the backward pass re-run each
+        bounce instead of storing its intermediates — this *is* path replay,
+        with the counter-based RNG regenerating identical paths.
+    """
+    r = origin.shape[0]
+    state = dict(
+        origin=origin,
+        direction=direction,
+        weight=jnp.ones((r, 3), jnp.float32),
+        direct_weight=jnp.ones((r,), jnp.float32),
+        was_delta=jnp.zeros((r,), bool),
+        count_emitted=jnp.ones((r,), bool),  # raygen.rgen:43
+        done=jnp.zeros((r,), bool),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        rays_traced=jnp.zeros((r,), jnp.int32),
+        seed=seed,
+    )
+
+    # the reference's while loop runs depth = 0 .. MAX_DEPTH inclusive
+    n_bounces = cfg.max_depth + 1
+
+    if differentiable:
+        bounce_step = jax.checkpoint(
+            lambda st, b: (_bounce(scene, cfg, b, st), None),
+            static_argnums=(),
+        )
+        state, _ = jax.lax.scan(
+            bounce_step, state, jnp.arange(n_bounces, dtype=jnp.uint32)
+        )
+    else:
+
+        def cond(carry):
+            bounce, st = carry
+            return (bounce < n_bounces) & (~jnp.all(st["done"]))
+
+        def body(carry):
+            bounce, st = carry
+            return bounce + 1, _bounce(scene, cfg, bounce.astype(jnp.uint32), st)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state["radiance"], state["rays_traced"]
+
+
+def render_sample(
+    scene: SceneData, cfg: RenderConfig, pixel_index, timestamp, differentiable: bool = False
+):
+    """Radiance of one sample (one reference 'frame') per pixel index.
+    Returns (radiance (R,3), rays_traced (R,))."""
+    seed = rng.pixel_seed(pixel_index, timestamp)
+    jitter = None
+    if cfg.jitter:
+        jitter = (
+            rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_X),
+            rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_Y),
+        )
+    origin, direction = generate_rays(scene.camera, cfg.width, cfg.height, pixel_index, jitter)
+    return trace_rays(scene, cfg, origin, direction, seed, differentiable=differentiable)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_image_stats(scene: SceneData, cfg: RenderConfig, timestamp0=0):
+    """Render (H, W, 3) plus total rays traced (scalar int64-ish float).
+
+    Mean of cfg.spp samples, batched over rays.  Each sample reuses the
+    reference's per-frame seeding with an advancing timestamp (progressive
+    accumulation semantics, raygen.rgen:37,84-91), so `spp` samples here ==
+    `spp` reference frames.
+    """
+    n_pixels = cfg.width * cfg.height
+    batch = min(cfg.ray_batch, n_pixels)
+    n_batches = -(-n_pixels // batch)
+    padded = n_batches * batch
+    pixel_index = jnp.arange(padded, dtype=jnp.uint32).reshape(n_batches, batch)
+
+    timestamp0 = jnp.uint32(timestamp0)
+
+    def render_batch(pix):
+        def sample_body(carry, s):
+            acc, nrays = carry
+            rad, rays = render_sample(scene, cfg, pix, timestamp0 + s)
+            return (acc + rad, nrays + jnp.sum(rays.astype(jnp.float32))), None
+
+        (acc, nrays), _ = jax.lax.scan(
+            sample_body,
+            (jnp.zeros((pix.shape[0], 3), jnp.float32), jnp.float32(0.0)),
+            jnp.arange(cfg.spp, dtype=jnp.uint32),
+        )
+        return acc / cfg.spp, nrays
+
+    radiance, nrays = jax.lax.map(render_batch, pixel_index)
+    radiance = radiance.reshape(padded, 3)
+    return radiance[:n_pixels].reshape(cfg.height, cfg.width, 3), jnp.sum(nrays)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_image(scene: SceneData, cfg: RenderConfig, timestamp0=0):
+    """Render (H, W, 3); see render_image_stats."""
+    return render_image_stats(scene, cfg, timestamp0)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
+def render_step(scene: SceneData, cfg: RenderConfig, accum, timestamp):
+    """One progressive frame: 1 spp folded into the running mean.
+
+    Reference semantics (raygen.rgen:84-108): accum' = mix(accum, cur,
+    1/(t+1)), skipping NaN results; the accumulation buffer is donated just
+    as the reference writes its storage image in place.
+    """
+    one_spp = cfg.replace(spp=1)
+    frame = render_image(scene, one_spp, timestamp)
+    t = timestamp.astype(jnp.float32)
+    a = 1.0 / (t + 1.0)
+    mixed = accum * (1.0 - a) + frame * a
+    out = jnp.where(jnp.isnan(mixed), accum, mixed)
+    return out

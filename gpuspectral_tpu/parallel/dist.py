@@ -1,0 +1,157 @@
+"""Device-mesh distribution: tile x spp sharding with replicated scene.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: one graphics queue,
+no NCCL/MPI anywhere).  The TPU-native distribution plan (BASELINE.json
+north star):
+
+  * a 2-D mesh (tiles, spp): pixels sharded on one axis, samples-per-pixel
+    on the other — both embarrassingly parallel, so the forward pass needs
+    ZERO communication; collectives appear only at the end:
+      - `psum` over the spp axis to average samples,
+      - gradients all-reduced with `psum` over both axes (ICI) in the
+        inverse-rendering step,
+  * scene + BVH replicated to every chip (they are small relative to HBM),
+  * multi-host: the same `shard_map` program under
+    `jax.distributed.initialize`; XLA routes ICI within a slice and DCN
+    across hosts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrator.path_tracer import render_sample
+from ..scene.data import SceneData
+from ..utils.config import RenderConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, spp_shards: int = 1) -> Mesh:
+    """Build a (tiles, spp) mesh over the first n_devices devices."""
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    n = len(devs)
+    assert n % spp_shards == 0, (n, spp_shards)
+    arr = np.asarray(devs).reshape(n // spp_shards, spp_shards)
+    return Mesh(arr, ("tiles", "spp"))
+
+
+def _replicated_specs(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+def render_image_sharded(
+    scene: SceneData, cfg: RenderConfig, mesh: Mesh, timestamp0: int = 0
+):
+    """Distributed render: pixels sharded over 'tiles', spp over 'spp'.
+
+    Forward pass communicates nothing; the final sample average is one psum
+    over the spp axis.  Returns a replicated (H, W, 3) image.
+    """
+    n_pixels = cfg.width * cfg.height
+    tiles = mesh.shape["tiles"]
+    spp_shards = mesh.shape["spp"]
+    assert n_pixels % tiles == 0, (n_pixels, tiles)
+    assert cfg.spp % spp_shards == 0, (cfg.spp, spp_shards)
+    local_spp = cfg.spp // spp_shards
+
+    pixel_index = jnp.arange(n_pixels, dtype=jnp.uint32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("tiles"), _replicated_specs(scene)),
+        out_specs=P("tiles"),
+        check_vma=False,  # nested scans carry fresh constants; vma analysis
+        # would demand pcasts with no behavioral effect
+    )
+    def _render(pix, scene_rep):
+        s0 = jax.lax.axis_index("spp") * local_spp
+
+        def body(acc, s):
+            rad, _ = render_sample(scene_rep, cfg, pix, jnp.uint32(timestamp0) + s0 + s)
+            return acc + rad, None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((pix.shape[0], 3), jnp.float32),
+            jnp.arange(local_spp, dtype=jnp.uint32),
+        )
+        # average over the spp mesh axis — the only collective in the forward
+        return jax.lax.pmean(acc / local_spp, "spp")
+
+    radiance = _render(pixel_index, scene)
+    return radiance.reshape(cfg.height, cfg.width, 3)
+
+
+def grad_step_sharded(
+    scene: SceneData,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    target,
+    timestamp0: int = 0,
+):
+    """One distributed inverse-rendering gradient step.
+
+    Differentiates the MSE between the rendered image and `target` w.r.t.
+    the BSDF parameter table, sharded like render_image_sharded.  The
+    gradient all-reduce (`psum` over both mesh axes) is the TPU equivalent
+    of the north star's 'all-reduce parameter gradients overlapped with
+    backward replay' — XLA overlaps the psum with the remat-ed backward
+    bounce loop automatically.
+
+    Returns (loss, grads) with grads matching scene.bsdf_params.
+    """
+    n_pixels = cfg.width * cfg.height
+    tiles = mesh.shape["tiles"]
+    spp_shards = mesh.shape["spp"]
+    assert n_pixels % tiles == 0
+    assert cfg.spp % spp_shards == 0
+    local_spp = cfg.spp // spp_shards
+
+    pixel_index = jnp.arange(n_pixels, dtype=jnp.uint32)
+    target_flat = target.reshape(n_pixels, 3)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), _replicated_specs(scene)),
+        out_specs=(P(), _replicated_specs(scene.bsdf_params)),
+        check_vma=False,
+    )
+    def _step(pix, tgt, scene_rep):
+        s0 = jax.lax.axis_index("spp") * local_spp
+
+        def local_loss(params):
+            sc = scene_rep.replace(bsdf_params=params)
+
+            def body(acc, s):
+                rad, _ = render_sample(
+                    sc, cfg, pix, jnp.uint32(timestamp0) + s0 + s, differentiable=True
+                )
+                return acc + rad, None
+
+            acc, _ = jax.lax.scan(
+                body,
+                jnp.zeros((pix.shape[0], 3), jnp.float32),
+                jnp.arange(local_spp, dtype=jnp.uint32),
+            )
+            # full-spp image: differentiable pmean over the spp axis so the
+            # loss is taken on the same estimator regardless of sharding
+            img = jax.lax.pmean(acc / local_spp, "spp")
+            return jnp.sum((img - tgt) ** 2)  # local tile's sum-sq error
+
+        loss, grads = jax.value_and_grad(local_loss)(scene_rep.bsdf_params)
+        denom = n_pixels * 3
+        # loss is identical along spp (post-pmean): reduce over tiles only
+        loss = jax.lax.psum(loss, "tiles") / denom
+        # pmean's VJP already splits cotangents across spp shards, so the
+        # true gradient is the sum over *all* devices
+        grads = jax.lax.psum(grads, ("tiles", "spp")) / denom
+        return loss, grads
+
+    return _step(pixel_index, target_flat, scene)

@@ -1,0 +1,43 @@
+"""Pinhole camera ray generation.
+
+Exact behavior spec from the reference raygen shader (raygen.rgen:20-35):
+
+    xy  = fragCoord - size/2
+    z   = (max(size.x, size.y)/2) / tan(fov/2)
+    d_c = normalize(-xy.x, xy.y, z)
+    d_w = (to_world @ vec4(d_c, 0)).xyz ;  d_w.y *= -1
+    origin = to_world[:,3]
+
+fragCoord has (0,0) at the top-left pixel (Vulkan launch-ID convention) and
+the reference samples at integer pixel coordinates (no subpixel jitter —
+raygen.rgen:38 is commented out).  `jitter_u` lets callers pass a per-pixel
+subpixel offset in [0,1)^2 for antialiased accumulation; pass None to
+replicate the reference exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import math3d as m3
+from .data import CameraData
+
+
+def generate_rays(cam: CameraData, width: int, height: int, pixel_index, jitter_u=None):
+    """pixel_index: (...,) int32 flat index (y*width + x).
+    Returns (origin (...,3), direction (...,3))."""
+    px = (pixel_index % width).astype(jnp.float32)
+    py = (pixel_index // width).astype(jnp.float32)
+    if jitter_u is not None:
+        px = px + jitter_u[0]
+        py = py + jitter_u[1]
+    xy_x = px - width / 2.0
+    xy_y = py - height / 2.0
+    z = (max(width, height) / 2.0) / jnp.tan(cam.fov / 2.0)
+    d_cam = m3.normalize(
+        jnp.stack([-xy_x, xy_y, jnp.broadcast_to(z, xy_x.shape)], axis=-1)
+    )
+    d_world = d_cam @ cam.to_world[:3, :3].T
+    d_world = d_world * jnp.asarray([1.0, -1.0, 1.0], d_world.dtype)
+    origin = jnp.broadcast_to(cam.to_world[:3, 3], d_world.shape)
+    return origin, d_world

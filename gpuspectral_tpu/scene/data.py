@@ -1,0 +1,201 @@
+"""SceneData: the device-side scene representation (a JAX pytree).
+
+The reference keeps per-object meshes + instance transforms and re-uploads
+instance/BSDF/light buffers every frame (renderer/PathTracer.cpp:58-93).  For
+a static TPU scene we bake everything once at build time:
+
+  * all triangles pre-transformed to world space (positions by the object
+    transform, shading normals by its inverse-transpose — the reference does
+    this per hit in rayhit.rchit:679-688),
+  * per-triangle material attributes gathered into dense arrays,
+  * triangle lights extracted exactly as the loader does
+    (engine/Loader.cpp:316-330): every triangle of an emitting object becomes
+    a light with world-space vertices.
+
+Arrays are padded to TPU-friendly multiples (lane width 128) with degenerate
+triangles; `num_tris` / `num_lights` stay static Python ints so shapes are
+jit-stable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bsdf.table import BSDFTable, NUM_PARAMS
+
+PAD_MULTIPLE = 128
+# Padding triangles are zero-area points at the origin: their edge cross
+# product is exactly 0, so Moller-Trumbore rejects them as parallel — they
+# can never alias a real hit and never produce inf/nan intermediates.
+_PAD_POS = 0.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraData:
+    to_world: jax.Array  # (4,4) camera-to-world
+    fov: jax.Array  # scalar, radians (vertical, as the reference uses it)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    # geometry (world space), padded to PAD_MULTIPLE
+    tri_pos: jax.Array  # (T,3,3) float32
+    tri_nrm: jax.Array  # (T,3,3) float32 per-corner shading normals
+    tri_uv: jax.Array  # (T,3,2) float32
+    # per-triangle material bindings
+    tri_bsdf: jax.Array  # (T,) int32 row into bsdf tables
+    tri_emission: jax.Array  # (T,3) float32
+    tri_twofaced: jax.Array  # (T,) bool
+    # bsdf tables
+    bsdf_kind: jax.Array  # (B,) int32
+    bsdf_params: jax.Array  # (B,NUM_PARAMS) float32
+    # lights, padded to >=1
+    light_pos: jax.Array  # (L,3,3) float32 world-space vertices
+    light_emission: jax.Array  # (L,3) float32 radiance
+    camera: CameraData
+    # static metadata
+    num_tris: int = dataclasses.field(metadata=dict(static=True))
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def padded_tris(self) -> int:
+        return self.tri_pos.shape[0]
+
+    def replace(self, **kw) -> "SceneData":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass
+class SceneBuilder:
+    """Host-side accumulation of scene objects before device packing."""
+
+    tri_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_nrm: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_uv: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_bsdf: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_emission: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_twofaced: List[np.ndarray] = dataclasses.field(default_factory=list)
+    light_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
+    light_emission: List[np.ndarray] = dataclasses.field(default_factory=list)
+    bsdfs: BSDFTable = dataclasses.field(default_factory=BSDFTable)
+    cam_to_world: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+    cam_fov: float = np.pi / 2
+    film_width: int = 512
+    film_height: int = 512
+    film_spp: int = 64
+    max_depth: int = 50
+
+    def add_bsdf(self, kind_row) -> int:
+        return self.bsdfs.add(kind_row)
+
+    def add_object(
+        self,
+        positions: np.ndarray,  # (N,3,3) object space
+        normals: np.ndarray,  # (N,3,3)
+        uvs: Optional[np.ndarray],  # (N,3,2)
+        transform: np.ndarray,  # (4,4) object-to-world
+        bsdf_index: int,
+        emission=(0.0, 0.0, 0.0),
+        twofaced: bool = False,
+    ) -> None:
+        n = positions.shape[0]
+        if n == 0:
+            return
+        transform = np.asarray(transform, np.float32)
+        pos_h = positions @ transform[:3, :3].T + transform[:3, 3]
+        inv_t = np.linalg.inv(transform[:3, :3]).T.astype(np.float32)
+        nrm = normals @ inv_t.T
+        if uvs is None:
+            uvs = np.zeros((n, 3, 2), np.float32)
+        emission = np.asarray(emission, np.float32)
+        self.tri_pos.append(pos_h.astype(np.float32))
+        self.tri_nrm.append(nrm.astype(np.float32))
+        self.tri_uv.append(uvs.astype(np.float32))
+        self.tri_bsdf.append(np.full((n,), bsdf_index, np.int32))
+        self.tri_emission.append(np.broadcast_to(emission, (n, 3)).copy())
+        self.tri_twofaced.append(np.full((n,), twofaced, bool))
+        if np.any(emission > 0.0):
+            # every emitting triangle becomes a light (Loader.cpp:316-330)
+            self.light_pos.append(pos_h.astype(np.float32))
+            self.light_emission.append(np.broadcast_to(emission, (n, 3)).copy())
+
+    def set_camera(self, to_world: np.ndarray, fov_radians: float) -> None:
+        self.cam_to_world = np.asarray(to_world, np.float32)
+        self.cam_fov = float(fov_radians)
+
+    def build(self) -> SceneData:
+        return build_scene(self)
+
+
+def _pad_to(x: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    shape = (pad,) + x.shape[1:]
+    return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+
+
+def build_scene(b: SceneBuilder) -> SceneData:
+    if b.tri_pos:
+        pos = np.concatenate(b.tri_pos)
+        nrm = np.concatenate(b.tri_nrm)
+        uv = np.concatenate(b.tri_uv)
+        bsdf_idx = np.concatenate(b.tri_bsdf)
+        emission = np.concatenate(b.tri_emission)
+        twofaced = np.concatenate(b.tri_twofaced)
+    else:
+        pos = np.zeros((0, 3, 3), np.float32)
+        nrm = np.zeros((0, 3, 3), np.float32)
+        uv = np.zeros((0, 3, 2), np.float32)
+        bsdf_idx = np.zeros((0,), np.int32)
+        emission = np.zeros((0, 3), np.float32)
+        twofaced = np.zeros((0,), bool)
+
+    num_tris = pos.shape[0]
+    padded = max(PAD_MULTIPLE, -(-num_tris // PAD_MULTIPLE) * PAD_MULTIPLE)
+    pos = _pad_to(pos, padded, _PAD_POS)
+    nrm = _pad_to(nrm, padded, 0.0)
+    uv = _pad_to(uv, padded, 0.0)
+    bsdf_idx = _pad_to(bsdf_idx, padded, 0)
+    emission = _pad_to(emission, padded, 0.0)
+    twofaced = _pad_to(twofaced, padded, False)
+
+    if b.light_pos:
+        lpos = np.concatenate(b.light_pos)
+        lemit = np.concatenate(b.light_emission)
+    else:
+        lpos = np.zeros((1, 3, 3), np.float32)
+        lemit = np.zeros((1, 3), np.float32)
+    num_lights = max(1, lpos.shape[0])
+    lpos = _pad_to(lpos, num_lights, 0.0)
+    lemit = _pad_to(lemit, num_lights, 0.0)
+
+    kinds, params = b.bsdfs.pack()
+
+    return SceneData(
+        tri_pos=jnp.asarray(pos),
+        tri_nrm=jnp.asarray(nrm),
+        tri_uv=jnp.asarray(uv),
+        tri_bsdf=jnp.asarray(bsdf_idx),
+        tri_emission=jnp.asarray(emission),
+        tri_twofaced=jnp.asarray(twofaced),
+        bsdf_kind=jnp.asarray(kinds),
+        bsdf_params=jnp.asarray(params),
+        light_pos=jnp.asarray(lpos),
+        light_emission=jnp.asarray(lemit),
+        camera=CameraData(
+            to_world=jnp.asarray(b.cam_to_world, jnp.float32),
+            fov=jnp.asarray(b.cam_fov, jnp.float32),
+        ),
+        num_tris=int(num_tris),
+        num_lights=int(lpos.shape[0]) if b.light_pos else 1,
+    )

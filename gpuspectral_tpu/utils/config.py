@@ -1,0 +1,33 @@
+"""Render configuration.
+
+The reference hardcodes every knob (SURVEY.md §5.6): window 500x500 in
+main.cpp:16, MAX_DEPTH 50 / RR start 10 / firefly clamp 20 in
+raygen.rgen:27,60-71, NEE as a compile-time shader constant
+(rayhit.rchit:656).  Here they are a hashable dataclass usable as a jit
+static argument, defaulting to the reference's values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    spp: int = 64
+    max_depth: int = 50  # raygen.rgen:27
+    rr_start_depth: int = 10  # raygen.rgen:66
+    rr_clamp_min: float = 0.05  # raygen.rgen:67
+    firefly_clamp: float = 20.0  # raygen.rgen:60
+    nee: bool = True  # rayhit.rchit:656
+    jitter: bool = False  # reference does not subpixel-jitter
+    shadow_epsilon: float = 0.01  # rayhit.rchit:745-747
+    origin_epsilon: float = 1e-4  # rayhit.rchit:793
+    ray_batch: int = 8192  # rays processed per wavefront batch
+    tri_chunk: int = 512  # triangles per intersection block
+    use_bvh: bool = False  # hierarchical traversal (bvh/) vs brute force
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
