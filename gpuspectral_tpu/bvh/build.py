@@ -1,0 +1,122 @@
+"""LBVH construction: Morton-ordered triangle clusters + implicit binary tree.
+
+This replaces what the Vulkan driver gave the reference in hardware
+(`vkCmdBuildAccelerationStructuresKHR`, backend/vulkan/VulkanRays.cpp:6-86) —
+but the *shape* of the structure is chosen for TPU traversal, not for an RT
+core:
+
+  * Triangles are sorted by the Morton code of their centroid (the classic
+    LBVH ordering) and grouped into fixed-size clusters of LEAF_SIZE
+    contiguous triangles.  A leaf hit therefore tests a *dense contiguous
+    block* — exactly the memory pattern the VPU wants, no per-triangle
+    gathers.
+  * Above the clusters sits an implicit complete binary tree (node i's
+    children are 2i+1 / 2i+2): no child pointers, no variable topology —
+    traversal control flow is scalar and branch-free-ish, and the whole node
+    array is two dense (N,3) float arrays (min/max).
+  * Build runs once at scene load in numpy (static scenes, like the
+    reference's BLAS cache, renderer/Renderer.cpp:122-131).
+
+The quality loss vs a SAH tree is acceptable because leaves are wide: the
+expensive part on TPU is divergence, not extra AABB tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+LEAF_SIZE = 64
+
+
+def morton_codes(centroids: np.ndarray, bbox_min, bbox_max) -> np.ndarray:
+    """30-bit Morton codes (10 bits/axis) of points in the scene bbox."""
+    extent = np.maximum(np.asarray(bbox_max) - np.asarray(bbox_min), 1e-12)
+    q = (centroids - bbox_min) / extent
+    q = np.clip((q * 1024.0).astype(np.uint32), 0, 1023).astype(np.uint64)
+
+    def expand(v):
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (
+        (expand(q[:, 0]) << np.uint64(2))
+        | (expand(q[:, 1]) << np.uint64(1))
+        | expand(q[:, 2])
+    ).astype(np.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    """Host-side build result (device packing happens in SceneData)."""
+
+    node_min: np.ndarray  # (2C-1, 3) implicit-tree AABB minima
+    node_max: np.ndarray  # (2C-1, 3)
+    perm: np.ndarray  # (T,) permutation: sorted position -> original tri id
+    n_clusters: int  # C (power of two)
+    leaf_size: int
+    n_levels: int  # tree depth (root = level 0)
+
+
+def build_bvh(tri_pos: np.ndarray, num_tris: int, leaf_size: int = LEAF_SIZE) -> BVH:
+    """tri_pos: (T,3,3) padded triangle array; only the first num_tris are
+    real.  Returns the BVH plus the permutation that must be applied to all
+    per-triangle scene arrays (pad triangles sort to the end).
+    """
+    t_total = tri_pos.shape[0]
+    real = tri_pos[:num_tris]
+    if num_tris == 0:
+        c = 1
+        return BVH(
+            node_min=np.full((1, 3), np.inf, np.float32),
+            node_max=np.full((1, 3), -np.inf, np.float32),
+            perm=np.arange(t_total),
+            n_clusters=1,
+            leaf_size=leaf_size,
+            n_levels=1,
+        )
+
+    centroids = real.mean(axis=1)
+    bb_min = real.min(axis=(0, 1))
+    bb_max = real.max(axis=(0, 1))
+    codes = morton_codes(centroids, bb_min, bb_max)
+    order = np.argsort(codes, kind="stable")
+
+    # full permutation: sorted real triangles first, padding after
+    perm = np.concatenate([order, np.arange(num_tris, t_total)])
+
+    n_clusters_real = -(-num_tris // leaf_size)
+    n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
+
+    # per-cluster AABBs over the *sorted* triangle order; empty/pad clusters
+    # get inverted boxes that fail every slab test
+    sorted_tris = real[order]
+    cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
+    cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
+    for c in range(n_clusters_real):
+        chunk = sorted_tris[c * leaf_size : (c + 1) * leaf_size]
+        cluster_min[c] = chunk.min(axis=(0, 1))
+        cluster_max[c] = chunk.max(axis=(0, 1))
+
+    # implicit complete binary tree: leaves at [n_clusters-1, 2*n_clusters-1)
+    n_nodes = 2 * n_clusters - 1
+    node_min = np.full((n_nodes, 3), np.inf, np.float32)
+    node_max = np.full((n_nodes, 3), -np.inf, np.float32)
+    node_min[n_clusters - 1 :] = cluster_min
+    node_max[n_clusters - 1 :] = cluster_max
+    for i in range(n_clusters - 2, -1, -1):
+        node_min[i] = np.minimum(node_min[2 * i + 1], node_min[2 * i + 2])
+        node_max[i] = np.maximum(node_max[2 * i + 1], node_max[2 * i + 2])
+
+    return BVH(
+        node_min=node_min,
+        node_max=node_max,
+        perm=perm,
+        n_clusters=n_clusters,
+        leaf_size=leaf_size,
+        n_levels=int(np.log2(n_clusters)) + 1,
+    )

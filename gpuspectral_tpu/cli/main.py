@@ -29,6 +29,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tonemap", action="store_true", help="ACES filmic tonemap for PNG")
     p.add_argument("--seed", type=int, default=0, help="base timestamp / frame seed")
     p.add_argument("--ray-batch", type=int, default=65536)
+    p.add_argument("--bvh", action="store_true", help="use LBVH packet traversal")
+    p.add_argument("--packet-size", type=int, default=1024)
     p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
 
 
@@ -59,6 +61,8 @@ def _build(args):
         nee=not args.no_nee,
         jitter=args.jitter,
         ray_batch=args.ray_batch,
+        use_bvh=getattr(args, "bvh", False),
+        packet_size=getattr(args, "packet_size", 1024),
     )
     return scene, cfg
 

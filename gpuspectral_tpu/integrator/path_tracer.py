@@ -81,13 +81,29 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     seed = state["seed"]
     alive = ~state["done"]
 
-    t, prim, bu, bv = isect.intersect_closest(
-        origin,
-        direction,
-        scene.tri_pos,
-        active=alive,
-        tri_chunk=cfg.tri_chunk,
-    )
+    if cfg.use_bvh:
+        from ..bvh.traverse import intersect_closest_bvh
+
+        t, prim, bu, bv = intersect_closest_bvh(
+            origin,
+            direction,
+            scene.tri_pos,
+            scene.bvh_node_min,
+            scene.bvh_node_max,
+            scene.bvh_clusters,
+            scene.bvh_leaf_size,
+            scene.bvh_levels,
+            active=alive,
+            packet_size=cfg.packet_size,
+        )
+    else:
+        t, prim, bu, bv = isect.intersect_closest(
+            origin,
+            direction,
+            scene.tri_pos,
+            active=alive,
+            tri_chunk=cfg.tri_chunk,
+        )
     hit = (prim >= 0) & alive
     miss = (~(prim >= 0)) & alive
 
@@ -150,15 +166,33 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     front_ok = (m3.dot(gn, -direction) > 0.0) & (m3.dot(gn, ldir) > 0.0)
     nee_candidate = cfg.nee & hit & (~delta) & (front_ok | transmission)
 
-    shadowed = isect.intersect_any(
-        position,
-        ldir,
-        scene.tri_pos,
-        t_min=cfg.shadow_epsilon,
-        t_max=ldist - cfg.shadow_epsilon,
-        active=nee_candidate,
-        tri_chunk=cfg.tri_chunk,
-    )
+    if cfg.use_bvh:
+        from ..bvh.traverse import intersect_any_bvh
+
+        shadowed = intersect_any_bvh(
+            position,
+            ldir,
+            scene.tri_pos,
+            scene.bvh_node_min,
+            scene.bvh_node_max,
+            scene.bvh_clusters,
+            scene.bvh_leaf_size,
+            scene.bvh_levels,
+            t_min=cfg.shadow_epsilon,
+            t_max=ldist - cfg.shadow_epsilon,
+            active=nee_candidate,
+            packet_size=cfg.packet_size,
+        )
+    else:
+        shadowed = isect.intersect_any(
+            position,
+            ldir,
+            scene.tri_pos,
+            t_min=cfg.shadow_epsilon,
+            t_max=ldist - cfg.shadow_epsilon,
+            active=nee_candidate,
+            tri_chunk=cfg.tri_chunk,
+        )
     nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
 
     emitted = jnp.zeros_like(origin)

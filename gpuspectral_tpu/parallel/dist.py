@@ -126,7 +126,8 @@ def grad_step_sharded(
     def _step(pix, tgt, scene_rep):
         s0 = jax.lax.axis_index("spp") * local_spp
 
-        def local_loss(params):
+        def local_accum(params):
+            """Local-spp radiance sum for this shard's pixels."""
             sc = scene_rep.replace(bsdf_params=params)
 
             def body(acc, s):
@@ -140,17 +141,25 @@ def grad_step_sharded(
                 jnp.zeros((pix.shape[0], 3), jnp.float32),
                 jnp.arange(local_spp, dtype=jnp.uint32),
             )
-            # full-spp image: differentiable pmean over the spp axis so the
-            # loss is taken on the same estimator regardless of sharding
-            img = jax.lax.pmean(acc / local_spp, "spp")
-            return jnp.sum((img - tgt) ** 2)  # local tile's sum-sq error
+            return acc / local_spp
 
-        loss, grads = jax.value_and_grad(local_loss)(scene_rep.bsdf_params)
+        # Gradient strategy that does NOT differentiate through a collective
+        # (collective transposes vary across jax versions): for the MSE loss
+        # L = sum_p (img_p - t_p)^2 with img = (1/S) sum_shards x_i,
+        # dL/dtheta = sum_p r_p * d img_p/dtheta with residual
+        # r = 2 (img - t) held constant.  Each shard differentiates the
+        # *linear* surrogate  sum(r * x_local) / S  through its own samples
+        # only; the psum of those shard gradients is exactly dL/dtheta.
+        x_local = local_accum(scene_rep.bsdf_params)
+        img = jax.lax.pmean(jax.lax.stop_gradient(x_local), "spp")
+        residual = jax.lax.stop_gradient(2.0 * (img - tgt))
+
+        def surrogate(params):
+            return jnp.sum(residual * local_accum(params)) / spp_shards
+
+        grads = jax.grad(surrogate)(scene_rep.bsdf_params)
         denom = n_pixels * 3
-        # loss is identical along spp (post-pmean): reduce over tiles only
-        loss = jax.lax.psum(loss, "tiles") / denom
-        # pmean's VJP already splits cotangents across spp shards, so the
-        # true gradient is the sum over *all* devices
+        loss = jax.lax.psum(jnp.sum((img - tgt) ** 2), "tiles") / denom
         grads = jax.lax.psum(grads, ("tiles", "spp")) / denom
         return loss, grads
 

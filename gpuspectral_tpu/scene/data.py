@@ -59,10 +59,17 @@ class SceneData:
     # lights, padded to >=1
     light_pos: jax.Array  # (L,3,3) float32 world-space vertices
     light_emission: jax.Array  # (L,3) float32 radiance
+    # LBVH over Morton-sorted triangles (bvh/build.py); triangle arrays above
+    # are stored in sorted order so BVH prim ids == array indices
+    bvh_node_min: jax.Array  # (2C-1,3)
+    bvh_node_max: jax.Array  # (2C-1,3)
     camera: CameraData
     # static metadata
     num_tris: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
+    bvh_clusters: int = dataclasses.field(metadata=dict(static=True))
+    bvh_leaf_size: int = dataclasses.field(metadata=dict(static=True))
+    bvh_levels: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def padded_tris(self) -> int:
@@ -169,6 +176,15 @@ def build_scene(b: SceneBuilder) -> SceneData:
     emission = _pad_to(emission, padded, 0.0)
     twofaced = _pad_to(twofaced, padded, False)
 
+    # LBVH build + reorder all per-triangle arrays into Morton order so that
+    # BVH leaf slices are contiguous and prim ids stay canonical
+    from ..bvh.build import build_bvh
+
+    bvh = build_bvh(pos, num_tris)
+    perm = bvh.perm
+    pos, nrm, uv = pos[perm], nrm[perm], uv[perm]
+    bsdf_idx, emission, twofaced = bsdf_idx[perm], emission[perm], twofaced[perm]
+
     if b.light_pos:
         lpos = np.concatenate(b.light_pos)
         lemit = np.concatenate(b.light_emission)
@@ -192,10 +208,15 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bsdf_params=jnp.asarray(params),
         light_pos=jnp.asarray(lpos),
         light_emission=jnp.asarray(lemit),
+        bvh_node_min=jnp.asarray(bvh.node_min),
+        bvh_node_max=jnp.asarray(bvh.node_max),
         camera=CameraData(
             to_world=jnp.asarray(b.cam_to_world, jnp.float32),
             fov=jnp.asarray(b.cam_fov, jnp.float32),
         ),
         num_tris=int(num_tris),
         num_lights=int(lpos.shape[0]) if b.light_pos else 1,
+        bvh_clusters=bvh.n_clusters,
+        bvh_leaf_size=bvh.leaf_size,
+        bvh_levels=bvh.n_levels,
     )

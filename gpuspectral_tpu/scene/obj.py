@@ -29,6 +29,18 @@ def load_obj(path: str, cache: bool = True):
     vns: list = []
     face_corners: list = []  # list of per-face lists of (vi, ti, ni)
 
+    if not os.path.exists(path):
+        # match the reference's tolerance: tinyobj fails, a warning prints,
+        # and the shape imports as an empty mesh (Loader.cpp:29-35)
+        import sys
+
+        print(f"WARN: missing OBJ file {path}; importing empty mesh", file=sys.stderr)
+        return (
+            np.zeros((0, 3, 3), np.float32),
+            np.zeros((0, 3, 3), np.float32),
+            np.zeros((0, 3, 2), np.float32),
+        )
+
     with open(path, "r", errors="replace") as fh:
         for line in fh:
             if not line or line[0] in "#\n":

@@ -28,6 +28,7 @@ class RenderConfig:
     ray_batch: int = 8192  # rays processed per wavefront batch
     tri_chunk: int = 512  # triangles per intersection block
     use_bvh: bool = False  # hierarchical traversal (bvh/) vs brute force
+    packet_size: int = 1024  # rays per BVH traversal packet
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,101 @@
+"""LBVH tests: Morton ordering, tree invariants, traversal equivalence with
+the brute-force oracle, and end-to-end render equality."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpuspectral_tpu.bvh.build import build_bvh, morton_codes
+from gpuspectral_tpu.bvh.traverse import intersect_any_bvh, intersect_closest_bvh
+from gpuspectral_tpu.ops.intersect import intersect_any, intersect_closest
+
+
+def _random_soup(n, seed=0, spread=4.0):
+    rs = np.random.default_rng(seed)
+    centers = rs.uniform(-spread, spread, size=(n, 1, 3))
+    tris = centers + rs.uniform(-0.3, 0.3, size=(n, 3, 3))
+    return tris.astype(np.float32)
+
+
+def test_morton_locality():
+    pts = np.array([[0, 0, 0], [1, 1, 1], [0.01, 0, 0], [0.5, 0.5, 0.5]], np.float32)
+    codes = morton_codes(pts, np.zeros(3), np.ones(3))
+    # nearby points have closer codes than distant ones
+    assert abs(int(codes[0]) - int(codes[2])) < abs(int(codes[0]) - int(codes[1]))
+
+
+def test_build_invariants():
+    tris = _random_soup(1000)
+    padded = np.concatenate([tris, np.zeros((24, 3, 3), np.float32)])
+    bvh = build_bvh(padded, 1000)
+    assert bvh.n_clusters & (bvh.n_clusters - 1) == 0  # power of two
+    # root box contains all real triangles
+    np.testing.assert_array_less(bvh.node_min[0] - 1e-4, tris.min((0, 1)))
+    np.testing.assert_array_less(tris.max((0, 1)), bvh.node_max[0] + 1e-4)
+    # parents contain children
+    for i in range(bvh.n_clusters - 1):
+        for ch in (2 * i + 1, 2 * i + 2):
+            if np.all(np.isfinite(bvh.node_min[ch])):
+                assert np.all(bvh.node_min[i] <= bvh.node_min[ch] + 1e-5)
+                assert np.all(bvh.node_max[i] >= bvh.node_max[ch] - 1e-5)
+    # permutation is a valid permutation
+    assert sorted(bvh.perm.tolist()) == list(range(1024))
+
+
+@pytest.mark.parametrize("n_tris", [50, 700])
+def test_traversal_matches_bruteforce(n_tris):
+    tris = _random_soup(n_tris, seed=3)
+    pad = -(-n_tris // 128) * 128 - n_tris
+    padded = np.concatenate([tris, np.zeros((pad, 3, 3), np.float32)])
+    bvh = build_bvh(padded, n_tris)
+    sorted_tris = jnp.asarray(padded[bvh.perm])
+
+    rs = np.random.default_rng(7)
+    r = 256
+    o = rs.uniform(-6, 6, size=(r, 3)).astype(np.float32)
+    d = rs.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    t_b, prim_b, u_b, v_b = intersect_closest(o, d, sorted_tris, tri_chunk=128)
+    t_h, prim_h, u_h, v_h = intersect_closest_bvh(
+        o, d, sorted_tris, jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
+        bvh.n_clusters, bvh.leaf_size, bvh.n_levels, packet_size=64,
+    )
+    np.testing.assert_array_equal(np.asarray(prim_h), np.asarray(prim_b))
+    hit = np.asarray(prim_b) >= 0
+    np.testing.assert_allclose(np.asarray(t_h)[hit], np.asarray(t_b)[hit], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_h)[hit], np.asarray(u_b)[hit], atol=1e-5)
+
+    occ_b = intersect_any(o, d, sorted_tris, 0.0, 5.0, tri_chunk=128)
+    occ_h = intersect_any_bvh(
+        o, d, sorted_tris, jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
+        bvh.n_clusters, bvh.leaf_size, bvh.n_levels, t_min=0.0, t_max=5.0, packet_size=64,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_b))
+
+
+def test_active_mask_and_window():
+    tris = _random_soup(100, seed=9)
+    pad = 128 - 100
+    padded = np.concatenate([tris, np.zeros((pad, 3, 3), np.float32)])
+    bvh = build_bvh(padded, 100)
+    sorted_tris = jnp.asarray(padded[bvh.perm])
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0]], jnp.float32)
+    t, prim, _, _ = intersect_closest_bvh(
+        o, d, sorted_tris, jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
+        bvh.n_clusters, bvh.leaf_size, bvh.n_levels,
+        active=jnp.asarray([True, False, True, False]), packet_size=4,
+    )
+    assert int(prim[1]) == -1 and int(prim[3]) == -1
+
+
+def test_cornell_render_bvh_equals_bruteforce(cornell_scene):
+    from gpuspectral_tpu.integrator import render_image
+    from gpuspectral_tpu.utils import RenderConfig
+
+    cfg = RenderConfig(width=24, height=24, spp=4, max_depth=3, ray_batch=576, tri_chunk=128)
+    img_bf = np.asarray(render_image(cornell_scene, cfg))
+    img_bvh = np.asarray(render_image(cornell_scene, cfg.replace(use_bvh=True, packet_size=576)))
+    np.testing.assert_allclose(img_bvh, img_bf, rtol=1e-4, atol=1e-5)
