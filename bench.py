@@ -32,7 +32,7 @@ def main() -> int:
         jitter=False,
         tonemap=False,
         seed=0,
-        ray_batch=262144,
+        ray_batch=65536,
         metrics=None,
         warmup=1,
         iters=3,

@@ -146,6 +146,14 @@ def main(argv=None) -> int:
     _add_render_args(p_grad)
     p_grad.set_defaults(fn=cmd_gradcheck)
 
+    p_inv = sub.add_parser("invert", help="inverse rendering: recover BSDF params")
+    _add_render_args(p_inv)
+    p_inv.add_argument("--target", default=None, help="target image (.exr/.pfm); default: self-target demo (render truth, perturb, recover)")
+    p_inv.add_argument("--steps", type=int, default=100)
+    p_inv.add_argument("--lr", type=float, default=0.02)
+    p_inv.add_argument("--checkpoint-dir", default=None)
+    p_inv.set_defaults(fn=cmd_invert)
+
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
@@ -156,6 +164,53 @@ def main(argv=None) -> int:
 
 def cmd_bench_wrapper(args) -> int:
     return cmd_benchmark(args)
+
+
+def cmd_invert(args) -> int:
+    import numpy as np
+
+    from ..diff.invert import invert, optimizable_mask, _render
+    from ..utils.metrics import MetricsLogger
+
+    scene, cfg = _build(args)
+    if cfg.width > 128 or args.spp is None:
+        cfg = cfg.replace(width=min(cfg.width, 128), height=min(cfg.height, 128),
+                          spp=args.spp or 8, max_depth=min(cfg.max_depth, 5))
+    log = MetricsLogger(args.metrics)
+
+    if args.target:
+        if args.target.endswith(".exr"):
+            from ..io.exr import read_exr
+
+            target = read_exr(args.target)
+        else:
+            from ..io import read_pfm
+
+            target = read_pfm(args.target)
+        init = None
+    else:
+        # self-target demo: render truth, perturb optimizable params
+        import jax.numpy as jnp
+
+        target = np.asarray(_render(scene, cfg, cfg.spp, jnp.uint32(0)))
+        mask = optimizable_mask(np.asarray(scene.bsdf_kind))
+        p0 = np.asarray(scene.bsdf_params).copy()
+        rs = np.random.default_rng(0)
+        p0[mask] = np.clip(p0[mask] + rs.uniform(-0.25, 0.25, size=mask.sum()), 0.02, 1.0)
+        init = p0
+        print(f"self-target: perturbed {mask.sum()} parameters", file=sys.stderr)
+
+    params, history = invert(
+        scene, target, cfg, steps=args.steps, lr=args.lr,
+        init_params=init, metrics=log, checkpoint_dir=args.checkpoint_dir,
+    )
+    err0, errN = history[0], history[-1]
+    truth = np.asarray(scene.bsdf_params)
+    mask = optimizable_mask(np.asarray(scene.bsdf_kind))
+    param_err = float(np.abs(np.asarray(params) - truth)[mask].mean()) if args.target is None else None
+    print(json.dumps(dict(loss_first=err0, loss_last=errN, steps=len(history),
+                          mean_param_error=param_err)))
+    return 0
 
 
 if __name__ == "__main__":

@@ -144,8 +144,16 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     transmission = is_transmission(bkind)
 
     # light sampling (rayhit.rchit:147-153,720-729)
-    lbits = rng.random_bits(seed, bounce, CH_LIGHT_INDEX)
-    lidx = (lbits % jnp.uint32(scene.num_lights)).astype(jnp.int32)
+    if cfg.light_sampling == "power":
+        u_l = rng.uniform(seed, bounce, CH_LIGHT_INDEX)
+        lidx = jnp.clip(
+            jnp.searchsorted(scene.light_cdf, u_l), 0, scene.num_lights - 1
+        ).astype(jnp.int32)
+        select_pdf = scene.light_prob[lidx]
+    else:  # uniform, the reference's scheme
+        lbits = rng.random_bits(seed, bounce, CH_LIGHT_INDEX)
+        lidx = (lbits % jnp.uint32(scene.num_lights)).astype(jnp.int32)
+        select_pdf = 1.0 / scene.num_lights
     lv = scene.light_pos[lidx]  # (R,3,3)
     lemit = scene.light_emission[lidx]
     lu1 = rng.uniform(seed, bounce, CH_LIGHT_U1)
@@ -153,7 +161,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     light_pos, light_emitted, light_pdf = smp.sample_triangle_light(
         lv[:, 0], lv[:, 1], lv[:, 2], lemit, position, lu1, lu2
     )
-    light_pdf = light_pdf / scene.num_lights
+    light_pdf = light_pdf * select_pdf
 
     ldelta = light_pos - position
     ldist = m3.length(ldelta)
@@ -212,7 +220,26 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     ce = state["count_emitted"]
     wd = state["was_delta"]
     self_emit = emission * light_flag[..., None] * state["weight"]
-    if cfg.nee:
+    if cfg.nee and cfg.mis_mode == "exact":
+        # true MIS complement: light-sampling pdf of the point the BSDF ray
+        # actually hit (solid-angle-converted area pdf x selection prob)
+        e1h = pos_c[:, 1] - pos_c[:, 0]
+        e2h = pos_c[:, 2] - pos_c[:, 0]
+        area_hit = 0.5 * m3.length(jnp.cross(e1h, e2h))
+        cos_hit = jnp.abs(m3.dot(gn, -direction))
+        if cfg.light_sampling == "power":
+            sel_hit = scene.light_prob[jnp.maximum(scene.tri_light_idx[jnp.maximum(prim, 0)], 0)]
+        else:
+            sel_hit = 1.0 / scene.num_lights
+        pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
+        w_emit = jnp.where(
+            state["prev_nee"], smp.power_heuristic(state["prev_pdf"], pdf_hit), 1.0
+        )
+        emitted = emitted + jnp.where(
+            ((~ce) & (~wd))[..., None], w_emit[..., None] * self_emit, 0.0
+        )
+        emitted = emitted + jnp.where((ce | wd)[..., None], self_emit, 0.0)
+    elif cfg.nee:
         emitted = emitted + jnp.where(
             ((~ce) & (~wd))[..., None], state["direct_weight"][..., None] * self_emit, 0.0
         )
@@ -246,6 +273,8 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     state_out["direction"] = jnp.where(cont[..., None], wi_world, direction)
     state_out["weight"] = jnp.where(cont[..., None], new_weight, state["weight"])
     state_out["direct_weight"] = jnp.where(cont, new_direct_weight, state["direct_weight"])
+    state_out["prev_pdf"] = jnp.where(cont, pdf, state["prev_pdf"])
+    state_out["prev_nee"] = jnp.where(cont, nee_done, state["prev_nee"])
     state_out["was_delta"] = jnp.where(cont, delta, wd)
     state_out["count_emitted"] = jnp.where(cont, False, ce)
     state_out["done"] = state["done"] | miss | terminate
@@ -302,6 +331,8 @@ def trace_rays(
         direction=direction,
         weight=jnp.ones((r, 3), jnp.float32),
         direct_weight=jnp.ones((r,), jnp.float32),
+        prev_pdf=jnp.ones((r,), jnp.float32),
+        prev_nee=jnp.zeros((r,), bool),
         was_delta=jnp.zeros((r,), bool),
         count_emitted=jnp.ones((r,), bool),  # raygen.rgen:43
         done=jnp.zeros((r,), bool),

@@ -53,12 +53,17 @@ class SceneData:
     tri_bsdf: jax.Array  # (T,) int32 row into bsdf tables
     tri_emission: jax.Array  # (T,3) float32
     tri_twofaced: jax.Array  # (T,) bool
+    tri_light_idx: jax.Array  # (T,) int32 light row for emissive tris, else -1
     # bsdf tables
     bsdf_kind: jax.Array  # (B,) int32
     bsdf_params: jax.Array  # (B,NUM_PARAMS) float32
     # lights, padded to >=1
     light_pos: jax.Array  # (L,3,3) float32 world-space vertices
     light_emission: jax.Array  # (L,3) float32 radiance
+    # power-proportional light selection (optional alternative to the
+    # reference's uniform pick): prefix-sum CDF + per-light probability
+    light_cdf: jax.Array  # (L,)
+    light_prob: jax.Array  # (L,)
     # LBVH over Morton-sorted triangles (bvh/build.py); triangle arrays above
     # are stored in sorted order so BVH prim ids == array indices
     bvh_node_min: jax.Array  # (2C-1,3)
@@ -89,6 +94,7 @@ class SceneBuilder:
     tri_bsdf: List[np.ndarray] = dataclasses.field(default_factory=list)
     tri_emission: List[np.ndarray] = dataclasses.field(default_factory=list)
     tri_twofaced: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tri_light_idx: List[np.ndarray] = dataclasses.field(default_factory=list)
     light_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
     light_emission: List[np.ndarray] = dataclasses.field(default_factory=list)
     bsdfs: BSDFTable = dataclasses.field(default_factory=BSDFTable)
@@ -132,8 +138,12 @@ class SceneBuilder:
         self.tri_twofaced.append(np.full((n,), twofaced, bool))
         if np.any(emission > 0.0):
             # every emitting triangle becomes a light (Loader.cpp:316-330)
+            base = sum(x.shape[0] for x in self.light_pos)
+            self.tri_light_idx.append(np.arange(base, base + n, dtype=np.int32))
             self.light_pos.append(pos_h.astype(np.float32))
             self.light_emission.append(np.broadcast_to(emission, (n, 3)).copy())
+        else:
+            self.tri_light_idx.append(np.full((n,), -1, np.int32))
 
     def set_camera(self, to_world: np.ndarray, fov_radians: float) -> None:
         self.cam_to_world = np.asarray(to_world, np.float32)
@@ -159,6 +169,7 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bsdf_idx = np.concatenate(b.tri_bsdf)
         emission = np.concatenate(b.tri_emission)
         twofaced = np.concatenate(b.tri_twofaced)
+        light_idx = np.concatenate(b.tri_light_idx)
     else:
         pos = np.zeros((0, 3, 3), np.float32)
         nrm = np.zeros((0, 3, 3), np.float32)
@@ -166,6 +177,7 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bsdf_idx = np.zeros((0,), np.int32)
         emission = np.zeros((0, 3), np.float32)
         twofaced = np.zeros((0,), bool)
+        light_idx = np.zeros((0,), np.int32)
 
     num_tris = pos.shape[0]
     padded = max(PAD_MULTIPLE, -(-num_tris // PAD_MULTIPLE) * PAD_MULTIPLE)
@@ -175,6 +187,7 @@ def build_scene(b: SceneBuilder) -> SceneData:
     bsdf_idx = _pad_to(bsdf_idx, padded, 0)
     emission = _pad_to(emission, padded, 0.0)
     twofaced = _pad_to(twofaced, padded, False)
+    light_idx = _pad_to(light_idx, padded, -1)
 
     # LBVH build + reorder all per-triangle arrays into Morton order so that
     # BVH leaf slices are contiguous and prim ids stay canonical
@@ -184,6 +197,7 @@ def build_scene(b: SceneBuilder) -> SceneData:
     perm = bvh.perm
     pos, nrm, uv = pos[perm], nrm[perm], uv[perm]
     bsdf_idx, emission, twofaced = bsdf_idx[perm], emission[perm], twofaced[perm]
+    light_idx = light_idx[perm]
 
     if b.light_pos:
         lpos = np.concatenate(b.light_pos)
@@ -195,6 +209,16 @@ def build_scene(b: SceneBuilder) -> SceneData:
     lpos = _pad_to(lpos, num_lights, 0.0)
     lemit = _pad_to(lemit, num_lights, 0.0)
 
+    # emitted power per light: luminance-ish weight * triangle area
+    areas = 0.5 * np.linalg.norm(
+        np.cross(lpos[:, 1] - lpos[:, 0], lpos[:, 2] - lpos[:, 0]), axis=-1
+    )
+    power = lemit.sum(-1) * areas
+    total = power.sum()
+    prob = power / total if total > 0 else np.full((num_lights,), 1.0 / num_lights)
+    cdf = np.cumsum(prob).astype(np.float32)
+    cdf[-1] = 1.0
+
     kinds, params = b.bsdfs.pack()
 
     return SceneData(
@@ -204,10 +228,13 @@ def build_scene(b: SceneBuilder) -> SceneData:
         tri_bsdf=jnp.asarray(bsdf_idx),
         tri_emission=jnp.asarray(emission),
         tri_twofaced=jnp.asarray(twofaced),
+        tri_light_idx=jnp.asarray(light_idx),
         bsdf_kind=jnp.asarray(kinds),
         bsdf_params=jnp.asarray(params),
         light_pos=jnp.asarray(lpos),
         light_emission=jnp.asarray(lemit),
+        light_cdf=jnp.asarray(cdf),
+        light_prob=jnp.asarray(prob.astype(np.float32)),
         bvh_node_min=jnp.asarray(bvh.node_min),
         bvh_node_max=jnp.asarray(bvh.node_max),
         camera=CameraData(

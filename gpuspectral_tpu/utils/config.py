@@ -29,6 +29,15 @@ class RenderConfig:
     tri_chunk: int = 512  # triangles per intersection block
     use_bvh: bool = False  # hierarchical traversal (bvh/) vs brute force
     packet_size: int = 1024  # rays per BVH traversal packet
+    # "uniform" matches the reference (rayhit.rchit:148: randPcg % numLights);
+    # "power" importance-samples lights by emitted power (lower variance on
+    # many-light scenes, identical expectation)
+    light_sampling: str = "uniform"
+    # "reference" reproduces the reference's MIS complement weight, which
+    # reuses the pdf of its *NEE light sample* (rayhit.rchit:786) — an
+    # approximation that overcounts emitter hits.  "exact" computes the true
+    # light pdf of the actual BSDF-ray hit point, converging to ground truth.
+    mis_mode: str = "reference"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
