@@ -19,13 +19,16 @@ TARGET_MRAYS = 100.0
 def main() -> int:
     import argparse
 
+    from gpuspectral_tpu.utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
     from gpuspectral_tpu.utils.bench import run_benchmark
 
     scene_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scenes/cornell/scene.xml")
     args = argparse.Namespace(
         scene=scene_path,
         output="/dev/null",
-        spp=64,
+        spp=16,
         size="512x512",
         depth=None,
         no_nee=False,
@@ -35,13 +38,13 @@ def main() -> int:
         ray_batch=65536,
         metrics=None,
         warmup=1,
-        iters=3,
+        iters=2,
     )
     result = run_benchmark(args)
     print(
         json.dumps(
             {
-                "metric": "cornell_512_64spp_mrays_per_s",
+                "metric": "cornell_512_mrays_per_s",
                 "value": round(result["mrays_per_s"], 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(result["mrays_per_s"] / TARGET_MRAYS, 4),

@@ -309,19 +309,25 @@ _EVALS = {
 }
 
 
-def sample_bsdf(params, kind, wo, u_sel, u1, u2):
+def sample_bsdf(params, kind, wo, u_sel, u1, u2, present=None):
     """Sample all BSDF types in lockstep and select by `kind`.
 
     params: (..., NUM_PARAMS) gathered rows; kind: (...,) int32;
     wo: (..., 3) shading-frame outgoing dir; u_*: (...,) uniforms.
+    `present`: optional static tuple of kinds occurring in the scene — only
+    those branches are computed (scene-specialized compile).
     Returns (wi, f, pdf, is_delta).
     """
+    kinds = _SAMPLERS.keys() if present is None else present
     wi = jnp.zeros_like(wo)
     f = jnp.zeros_like(wo)
     pdf = jnp.ones(wo.shape[:-1], wo.dtype)
     delta = jnp.zeros(wo.shape[:-1], bool)
-    for t, fn in _SAMPLERS.items():
+    for t in kinds:
+        fn = _SAMPLERS[t]
         wi_t, f_t, pdf_t, d_t = fn(params, wo, u_sel, u1, u2)
+        if len(list(kinds)) == 1:
+            return wi_t, f_t, pdf_t, d_t
         sel = kind == t
         wi = jnp.where(sel[..., None], wi_t, wi)
         f = jnp.where(sel[..., None], f_t, f)
@@ -330,13 +336,17 @@ def sample_bsdf(params, kind, wo, u_sel, u1, u2):
     return wi, f, pdf, delta
 
 
-def eval_bsdf(params, kind, wo, wi):
+def eval_bsdf(params, kind, wo, wi, present=None):
     """Evaluate f/pdf for a given direction pair; select by `kind`."""
+    kinds = _EVALS.keys() if present is None else present
     f = jnp.zeros_like(wo)
     pdf = jnp.ones(wo.shape[:-1], wo.dtype)
     delta = jnp.zeros(wo.shape[:-1], bool)
-    for t, fn in _EVALS.items():
+    for t in kinds:
+        fn = _EVALS[t]
         f_t, pdf_t, d_t = fn(params, wo, wi)
+        if len(list(kinds)) == 1:
+            return f_t, pdf_t, d_t
         sel = kind == t
         f = jnp.where(sel[..., None], f_t, f)
         pdf = jnp.where(sel, pdf_t, pdf)

@@ -129,6 +129,9 @@ def cmd_gradcheck(args) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
     parser = argparse.ArgumentParser(prog="gpuspectral", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 

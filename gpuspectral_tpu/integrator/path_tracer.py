@@ -62,17 +62,62 @@ CH_JITTER_X = 7
 CH_JITTER_Y = 8
 
 
-def _gather_tri(scene: SceneData, prim):
+_ONEHOT_MAX = 8192  # above this, one-hot matmul gathers cost more than native
+
+
+def _take_rows(table, idx):
+    """Row gather; for small tables a one-hot MXU matmul (TPU gathers from
+    XLA are ~0.5 ms per (65536,) lookup — the matmul is ~20x cheaper and
+    keeps gradients flowing into the table)."""
+    t = table.shape[0]
+    if t <= _ONEHOT_MAX:
+        oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(table.dtype)
+        return jnp.dot(oh, table, preferred_element_type=table.dtype)
+    return table[idx]
+
+
+def _tri_table(scene: SceneData):
+    """(T, 36) packed per-triangle attributes, built from live scene arrays
+    (differentiable w.r.t. bsdf params/emission); loop-invariant, so XLA
+    hoists it out of the bounce loop."""
+    t = scene.tri_pos.shape[0]
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            scene.tri_pos.reshape(t, 9),  # 0:9
+            scene.tri_nrm.reshape(t, 9),  # 9:18
+            scene.tri_emission,  # 18:21
+            scene.tri_twofaced[:, None].astype(f32),  # 21
+            scene.tri_light_idx[:, None].astype(f32),  # 22
+            scene.bsdf_kind[scene.tri_bsdf][:, None].astype(f32),  # 23
+            scene.bsdf_params[scene.tri_bsdf],  # 24:36
+        ],
+        axis=1,
+    )
+
+
+def _gather_tri(scene: SceneData, prim, tri_table=None):
     """Gather per-triangle shading data for (possibly miss=-1) prim ids."""
     safe = jnp.maximum(prim, 0)
+    if tri_table is None:
+        tri_table = _tri_table(scene)
+    rows = _take_rows(tri_table, safe)
+    r = rows.shape[0]
     return (
-        scene.tri_pos[safe],  # (R,3,3)
-        scene.tri_nrm[safe],  # (R,3,3)
-        scene.bsdf_params[scene.tri_bsdf[safe]],  # (R,P)
-        scene.bsdf_kind[scene.tri_bsdf[safe]],  # (R,)
-        scene.tri_emission[safe],  # (R,3)
-        scene.tri_twofaced[safe],  # (R,)
+        rows[:, 0:9].reshape(r, 3, 3),  # pos
+        rows[:, 9:18].reshape(r, 3, 3),  # nrm
+        rows[:, 24:36],  # bsdf params
+        jnp.round(rows[:, 23]).astype(jnp.int32),  # kind
+        rows[:, 18:21],  # emission
+        rows[:, 21] > 0.5,  # twofaced
+        jnp.round(rows[:, 22]).astype(jnp.int32),  # light idx
     )
+
+
+def _resolve_intersector(cfg: RenderConfig) -> str:
+    if cfg.intersector != "auto":
+        return cfg.intersector
+    return "pallas" if jax.default_backend() == "tpu" else "woop"
 
 
 def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
@@ -80,6 +125,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     origin, direction = state["origin"], state["direction"]
     seed = state["seed"]
     alive = ~state["done"]
+    isector = _resolve_intersector(cfg)
 
     if cfg.use_bvh:
         from ..bvh.traverse import intersect_closest_bvh
@@ -96,6 +142,20 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             active=alive,
             packet_size=cfg.packet_size,
         )
+    elif isector == "pallas":
+        from ..ops.pallas_isect import closest_pallas
+        from ..ops.woop import _recover_uv
+
+        r = origin.shape[0]
+        t_max0 = jnp.where(alive, jnp.float32(1e30), jnp.float32(-1e30))
+        t, prim = closest_pallas(
+            origin, direction, scene.tri_woop_t, jnp.zeros((r,), jnp.float32), t_max0
+        )
+        bu, bv = _recover_uv(
+            origin, direction, scene.tri_woop, prim, jnp.where(prim >= 0, t, 0.0)
+        )
+        bu = jnp.where(prim >= 0, bu, 0.0)
+        bv = jnp.where(prim >= 0, bv, 0.0)
     else:
         t, prim, bu, bv = isect.intersect_closest(
             origin,
@@ -103,11 +163,12 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             scene.tri_pos,
             active=alive,
             tri_chunk=cfg.tri_chunk,
+            woop=scene.tri_woop if isector == "woop" else None,
         )
     hit = (prim >= 0) & alive
     miss = (~(prim >= 0)) & alive
 
-    pos_c, nrm_c, bparams, bkind, emission, twofaced = _gather_tri(scene, prim)
+    pos_c, nrm_c, bparams, bkind, emission, twofaced, tri_lidx = _gather_tri(scene, prim)
 
     # hit position along the ray (rayhit.rchit:692).  Miss lanes carry
     # t = 1e30; clamp them to keep downstream math (and its *gradients*)
@@ -137,7 +198,9 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     u_sel = rng.uniform(seed, bounce, CH_BSDF_SELECT)
     u1 = rng.uniform(seed, bounce, CH_BSDF_U1)
     u2 = rng.uniform(seed, bounce, CH_BSDF_U2)
-    wi_local, f, pdf, delta = sample_bsdf(bparams, bkind, wo, u_sel, u1, u2)
+    wi_local, f, pdf, delta = sample_bsdf(
+        bparams, bkind, wo, u_sel, u1, u2, present=scene.kinds_present
+    )
     now = jnp.abs(wi_local[..., 2])
     wi_world = m3.onb_local_to_world(tg, bn, nn, wi_local)
 
@@ -154,8 +217,12 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
         lbits = rng.random_bits(seed, bounce, CH_LIGHT_INDEX)
         lidx = (lbits % jnp.uint32(scene.num_lights)).astype(jnp.int32)
         select_pdf = 1.0 / scene.num_lights
-    lv = scene.light_pos[lidx]  # (R,3,3)
-    lemit = scene.light_emission[lidx]
+    light_table = jnp.concatenate(
+        [scene.light_pos.reshape(-1, 9), scene.light_emission], axis=1
+    )
+    lrows = _take_rows(light_table, lidx)
+    lv = lrows[:, 0:9].reshape(-1, 3, 3)  # (R,3,3)
+    lemit = lrows[:, 9:12]
     lu1 = rng.uniform(seed, bounce, CH_LIGHT_U1)
     lu2 = rng.uniform(seed, bounce, CH_LIGHT_U2)
     light_pos, light_emitted, light_pdf = smp.sample_triangle_light(
@@ -168,7 +235,9 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     ldir = ldelta / jnp.maximum(ldist, 1e-12)[..., None]
     w_light_local = m3.onb_world_to_local(tg, bn, nn, ldir)
     nol = jnp.abs(m3.dot(sn, ldir))
-    f_light, _light_eval_pdf, _ = eval_bsdf(bparams, bkind, wo, w_light_local)
+    f_light, _light_eval_pdf, _ = eval_bsdf(
+        bparams, bkind, wo, w_light_local, present=scene.kinds_present
+    )
 
     # NEE eligibility (rayhit.rchit:734-736)
     front_ok = (m3.dot(gn, -direction) > 0.0) & (m3.dot(gn, ldir) > 0.0)
@@ -191,6 +260,18 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             active=nee_candidate,
             packet_size=cfg.packet_size,
         )
+    elif isector == "pallas":
+        from ..ops.pallas_isect import any_pallas
+
+        r = position.shape[0]
+        sh_tmax = jnp.where(nee_candidate, ldist - cfg.shadow_epsilon, -1.0)
+        shadowed = any_pallas(
+            position,
+            ldir,
+            scene.tri_woop_t,
+            jnp.full((r,), cfg.shadow_epsilon, jnp.float32),
+            sh_tmax,
+        )
     else:
         shadowed = isect.intersect_any(
             position,
@@ -200,6 +281,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             t_max=ldist - cfg.shadow_epsilon,
             active=nee_candidate,
             tri_chunk=cfg.tri_chunk,
+            woop=scene.tri_woop if isector == "woop" else None,
         )
     nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
 
@@ -228,7 +310,9 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
         area_hit = 0.5 * m3.length(jnp.cross(e1h, e2h))
         cos_hit = jnp.abs(m3.dot(gn, -direction))
         if cfg.light_sampling == "power":
-            sel_hit = scene.light_prob[jnp.maximum(scene.tri_light_idx[jnp.maximum(prim, 0)], 0)]
+            sel_hit = _take_rows(
+                scene.light_prob[:, None], jnp.maximum(tri_lidx, 0)
+            )[:, 0]
         else:
             sel_hit = 1.0 / scene.num_lights
         pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
@@ -366,6 +450,90 @@ def trace_rays(
     return state["radiance"], state["rays_traced"]
 
 
+def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0):
+    """Persistent-lane wavefront: each lane owns one pixel and runs its
+    cfg.spp samples back to back, regenerating a fresh camera path the
+    moment the previous one terminates.
+
+    The naive loop (scan over spp, while over bounces) leaves lanes idle
+    from their path's death until the wavefront's slowest path finishes —
+    measured ~2.5-3x wasted occupancy at depth 50 with Russian roulette.
+    Regeneration keeps every lane busy until it exhausts its own sample
+    budget; per-lane depth counters feed the RNG/RR (the bounce step is
+    already elementwise in the depth).
+
+    Returns (radiance_sum (R,3), rays_traced (R,)) — divide by spp.
+    """
+    r = pixel_index.shape[0]
+    t0 = jnp.uint32(timestamp0)
+
+    def fresh_ray(sample_idx):
+        seed = rng.pixel_seed(pixel_index, t0 + sample_idx)
+        jitter = None
+        if cfg.jitter:
+            jitter = (
+                rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_X),
+                rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_Y),
+            )
+        o, d = generate_rays(scene.camera, cfg.width, cfg.height, pixel_index, jitter)
+        return o, d, seed
+
+    o0, d0, seed0 = fresh_ray(jnp.uint32(0))
+    state = dict(
+        origin=o0,
+        direction=d0,
+        weight=jnp.ones((r, 3), jnp.float32),
+        direct_weight=jnp.ones((r,), jnp.float32),
+        prev_pdf=jnp.ones((r,), jnp.float32),
+        prev_nee=jnp.zeros((r,), bool),
+        was_delta=jnp.zeros((r,), bool),
+        count_emitted=jnp.ones((r,), bool),
+        done=jnp.zeros((r,), bool),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        rays_traced=jnp.zeros((r,), jnp.int32),
+        seed=seed0,
+        depth=jnp.zeros((r,), jnp.uint32),
+        sample=jnp.zeros((r,), jnp.uint32),
+    )
+
+    max_iters = cfg.spp * (cfg.max_depth + 1)
+
+    def cond(carry):
+        it, st = carry
+        exhausted = st["done"] & (st["sample"] + 1 >= cfg.spp)
+        return (it < max_iters) & (~jnp.all(exhausted))
+
+    def body(carry):
+        it, st = carry
+        depth = st["depth"]
+        st = _bounce(scene, cfg, depth, st)
+        st["depth"] = depth + 1
+        # per-path depth cutoff (the scan form bounded this by loop length)
+        st["done"] = st["done"] | (st["depth"] >= cfg.max_depth + 1)
+
+        # regenerate finished lanes that still have samples left
+        regen = st["done"] & (st["sample"] + 1 < cfg.spp)
+        new_sample = jnp.where(regen, st["sample"] + 1, st["sample"])
+        o_n, d_n, seed_n = fresh_ray(new_sample)
+        rsel = regen[..., None]
+        st["origin"] = jnp.where(rsel, o_n, st["origin"])
+        st["direction"] = jnp.where(rsel, d_n, st["direction"])
+        st["seed"] = jnp.where(regen, seed_n, st["seed"])
+        st["weight"] = jnp.where(rsel, 1.0, st["weight"])
+        st["direct_weight"] = jnp.where(regen, 1.0, st["direct_weight"])
+        st["prev_pdf"] = jnp.where(regen, 1.0, st["prev_pdf"])
+        st["prev_nee"] = jnp.where(regen, False, st["prev_nee"])
+        st["was_delta"] = jnp.where(regen, False, st["was_delta"])
+        st["count_emitted"] = jnp.where(regen, True, st["count_emitted"])
+        st["depth"] = jnp.where(regen, 0, st["depth"])
+        st["sample"] = new_sample
+        st["done"] = st["done"] & (~regen)
+        return it + 1, st
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state["radiance"], state["rays_traced"]
+
+
 def render_sample(
     scene: SceneData, cfg: RenderConfig, pixel_index, timestamp, differentiable: bool = False
 ):
@@ -400,17 +568,8 @@ def render_image_stats(scene: SceneData, cfg: RenderConfig, timestamp0=0):
     timestamp0 = jnp.uint32(timestamp0)
 
     def render_batch(pix):
-        def sample_body(carry, s):
-            acc, nrays = carry
-            rad, rays = render_sample(scene, cfg, pix, timestamp0 + s)
-            return (acc + rad, nrays + jnp.sum(rays.astype(jnp.float32))), None
-
-        (acc, nrays), _ = jax.lax.scan(
-            sample_body,
-            (jnp.zeros((pix.shape[0], 3), jnp.float32), jnp.float32(0.0)),
-            jnp.arange(cfg.spp, dtype=jnp.uint32),
-        )
-        return acc / cfg.spp, nrays
+        rad, rays = trace_wavefront(scene, cfg, pix, timestamp0)
+        return rad / cfg.spp, jnp.sum(rays.astype(jnp.float32))
 
     radiance, nrays = jax.lax.map(render_batch, pixel_index)
     radiance = radiance.reshape(padded, 3)

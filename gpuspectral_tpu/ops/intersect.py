@@ -61,12 +61,17 @@ def intersect_closest(
     t_max=None,
     active=None,
     tri_chunk: int = TRI_CHUNK,
+    woop=None,
 ):
     """Closest-hit query.
 
     Returns (t (R,), prim (R,) int32 [-1 = miss], u (R,), v (R,)) where (u,v)
     are the barycentric weights of corners 1 and 2 (reference hitAttribute
     convention, rayhit.rchit:690).
+
+    With `woop` (precomputed (T,12) transforms, ops/woop.py) the test runs
+    as MXU matmuls — the fast path on TPU; otherwise Moller-Trumbore on the
+    VPU (the portable path).
     """
     r = origin.shape[0]
     big = jnp.float32(1e30)
@@ -74,6 +79,12 @@ def intersect_closest(
     t_max = jnp.full((r,), big) if t_max is None else jnp.broadcast_to(t_max, (r,))
     if active is not None:
         t_max = jnp.where(active, t_max, -big)  # inactive rays hit nothing
+
+    if woop is not None:
+        from . import woop as woop_mod
+
+        chunk = min(tri_chunk, woop.shape[0])
+        return woop_mod.closest_scan(origin, direction, woop, t_min, t_max, chunk)
 
     tcount = tri_pos.shape[0]
     chunk = min(tri_chunk, tcount)
@@ -121,6 +132,7 @@ def intersect_any(
     t_max,
     active=None,
     tri_chunk: int = TRI_CHUNK,
+    woop=None,
 ):
     """Any-hit (shadow) query: True where something lies in (t_min, t_max).
 
@@ -132,6 +144,12 @@ def intersect_any(
     t_max = jnp.broadcast_to(t_max, (r,))
     if active is not None:
         t_max = jnp.where(active, t_max, -1.0)
+
+    if woop is not None:
+        from . import woop as woop_mod
+
+        chunk = min(tri_chunk, woop.shape[0])
+        return woop_mod.any_scan(origin, direction, woop, t_min, t_max, chunk)
 
     tcount = tri_pos.shape[0]
     chunk = min(tri_chunk, tcount)

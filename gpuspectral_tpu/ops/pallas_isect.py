@@ -1,0 +1,177 @@
+"""Pallas brute-force intersection kernels (the per-chip hot path).
+
+XLA materializes the (R, C) Woop-test planes in HBM between elementwise ops
+and the min/argmin reductions (measured ~1.5 ms per 65536x128 query — pure
+bandwidth).  These kernels keep the whole test chain in VMEM/registers:
+
+  grid = ray tiles of BLOCK rays; per tile, a `fori_loop` walks triangle
+  chunks of 128 (lane width) from the VMEM-resident Woop table, computes the
+  (BLOCK, 128) t-plane in registers, and folds min/argmin into the running
+  best before anything leaves the core.  Expected speedup ~8-10x over the
+  XLA path; the shadow variant folds an any-hit OR instead.
+
+Scales to scenes whose Woop table fits VMEM (~300k triangles at 48 B/tri =
+14 MB); larger scenes go through bvh/ traversal where leaves are staged the
+same way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 512  # rays per grid step
+LANE = 128  # triangles per inner chunk (lane width)
+_BIG = 1e30
+
+
+def _woop_rows(woop_t_ref, c):
+    """Fetch the 12 per-triangle rows for chunk c, each (1, LANE) —
+    woop is stored transposed (12, T) so these are lane-aligned loads."""
+    sl = pl.ds(c * LANE, LANE)
+    return [woop_t_ref[i, sl][None, :] for i in range(12)]
+
+
+def _chunk_hit_t(rows, ox, oy, oz, dx, dy, dz, t_min, t_max):
+    ax0, ax1, ax2, ay0, ay1, ay2, az0, az1, az2, bx, by, bz = rows
+    opz = ox * az0 + oy * az1 + oz * az2 + bz
+    dpz = dx * az0 + dy * az1 + dz * az2
+    live = jnp.abs(dpz) > 1e-12
+    t = -opz / jnp.where(live, dpz, 1.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = px * ax0 + py * ax1 + pz * ax2 + bx
+    v = px * ay0 + py * ay1 + pz * ay2 + by
+    hit = (
+        live
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(hit, t, _BIG)
+
+
+def _closest_kernel(woop_t_ref, o_ref, d_ref, tmin_ref, tmax_ref, t_out, prim_out, *, n_tris):
+    # outputs are (BLOCK, 1) columns — 1D blocks trip Mosaic tiling checks
+    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]  # (B,1)
+    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    t_min = tmin_ref[:, 0:1]
+    t_max = tmax_ref[:, 0:1]
+
+    n_chunks = n_tris // LANE
+
+    def chunk(c, carry):
+        best_t, best_prim = carry
+        rows = _woop_rows(woop_t_ref, c)
+        t = _chunk_hit_t(rows, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        t_new = jnp.min(t, axis=1)  # (B,)
+        arg = jnp.argmin(t, axis=1).astype(jnp.int32)
+        closer = t_new < best_t
+        best_prim = jnp.where(closer, c * LANE + arg, best_prim)
+        best_t = jnp.where(closer, t_new, best_t)
+        return best_t, best_prim
+
+    b = ox.shape[0]
+    init = (jnp.full((b,), _BIG, jnp.float32), jnp.full((b,), -1, jnp.int32))
+    best_t, best_prim = jax.lax.fori_loop(0, n_chunks, chunk, init)
+    t_out[:, 0] = best_t
+    prim_out[:, 0] = jnp.where(best_t < _BIG, best_prim, -1)
+
+
+def _any_kernel(woop_t_ref, o_ref, d_ref, tmin_ref, tmax_ref, occ_out, *, n_tris):
+    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
+    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    t_min = tmin_ref[:, 0:1]
+    t_max = tmax_ref[:, 0:1]
+    n_chunks = n_tris // LANE
+
+    def chunk(c, occ):
+        rows = _woop_rows(woop_t_ref, c)
+        t = _chunk_hit_t(rows, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        return occ | jnp.any(t < _BIG, axis=1)
+
+    b = ox.shape[0]
+    occ = jax.lax.fori_loop(0, n_chunks, chunk, jnp.zeros((b,), jnp.bool_))
+    occ_out[:, 0] = occ
+
+
+def _pad_rays(origin, direction, t_min, t_max, block):
+    r = origin.shape[0]
+    n_blocks = -(-r // block)
+    pad = n_blocks * block - r
+
+    def padv(x, v):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], v, x.dtype)]) if pad else x
+
+    return (
+        padv(origin, 0.0),
+        padv(direction, 1.0),
+        padv(t_min, 0.0),
+        padv(t_max, -_BIG),
+        n_blocks,
+        r,
+    )
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def closest_pallas(origin, direction, woop_t, t_min, t_max, block: int = BLOCK, interpret: bool = False):
+    """Closest hit over all triangles. `woop_t` is the transposed (12, T)
+    Woop table.  Returns (t, prim) — u/v recovered by the caller via
+    ops.woop._recover_uv."""
+    n_tris = woop_t.shape[1]
+    assert n_tris % LANE == 0, n_tris  # scene padding guarantees this
+    origin, direction, t_min, t_max, n_blocks, r = _pad_rays(
+        origin, direction, t_min, t_max, block
+    )
+
+    spec_r3 = pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    t, prim = pl.pallas_call(
+        partial(_closest_kernel, n_tris=n_tris),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # woop, whole table
+            spec_r3,
+            spec_r3,
+            spec_r1,
+            spec_r1,
+        ],
+        out_specs=[spec_out, spec_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * block, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * block, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(woop_t, origin, direction, t_min[:, None], t_max[:, None])
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def any_pallas(origin, direction, woop_t, t_min, t_max, block: int = BLOCK, interpret: bool = False):
+    n_tris = woop_t.shape[1]
+    assert n_tris % LANE == 0, n_tris
+    origin, direction, t_min, t_max, n_blocks, r = _pad_rays(
+        origin, direction, t_min, t_max, block
+    )
+    spec_r3 = pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    occ = pl.pallas_call(
+        partial(_any_kernel, n_tris=n_tris),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec_r3, spec_r3, spec_r1, spec_r1],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block, 1), jnp.bool_),
+        interpret=interpret,
+    )(woop_t, origin, direction, t_min[:, None], t_max[:, None])
+    return occ.reshape(-1)[:r]

@@ -54,6 +54,8 @@ class SceneData:
     tri_emission: jax.Array  # (T,3) float32
     tri_twofaced: jax.Array  # (T,) bool
     tri_light_idx: jax.Array  # (T,) int32 light row for emissive tris, else -1
+    tri_woop: jax.Array  # (T,12) precomputed Woop transforms (ops/woop.py)
+    tri_woop_t: jax.Array  # (12,T) transposed copy (lane-aligned Pallas loads)
     # bsdf tables
     bsdf_kind: jax.Array  # (B,) int32
     bsdf_params: jax.Array  # (B,NUM_PARAMS) float32
@@ -75,6 +77,9 @@ class SceneData:
     bvh_clusters: int = dataclasses.field(metadata=dict(static=True))
     bvh_leaf_size: int = dataclasses.field(metadata=dict(static=True))
     bvh_levels: int = dataclasses.field(metadata=dict(static=True))
+    # which BSDF kinds actually occur (static): the dispatch only computes
+    # these branches — a scene-specialized integrator compile
+    kinds_present: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def padded_tris(self) -> int:
@@ -199,6 +204,10 @@ def build_scene(b: SceneBuilder) -> SceneData:
     bsdf_idx, emission, twofaced = bsdf_idx[perm], emission[perm], twofaced[perm]
     light_idx = light_idx[perm]
 
+    from ..ops.woop import woop_transform
+
+    woop = woop_transform(pos)
+
     if b.light_pos:
         lpos = np.concatenate(b.light_pos)
         lemit = np.concatenate(b.light_emission)
@@ -229,6 +238,8 @@ def build_scene(b: SceneBuilder) -> SceneData:
         tri_emission=jnp.asarray(emission),
         tri_twofaced=jnp.asarray(twofaced),
         tri_light_idx=jnp.asarray(light_idx),
+        tri_woop=jnp.asarray(woop),
+        tri_woop_t=jnp.asarray(woop.T.copy()),
         bsdf_kind=jnp.asarray(kinds),
         bsdf_params=jnp.asarray(params),
         light_pos=jnp.asarray(lpos),
@@ -246,4 +257,5 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh_clusters=bvh.n_clusters,
         bvh_leaf_size=bvh.leaf_size,
         bvh_levels=bvh.n_levels,
+        kinds_present=tuple(sorted(set(int(k) for k in kinds))),
     )

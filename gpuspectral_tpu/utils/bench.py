@@ -20,19 +20,25 @@ def run_benchmark(args) -> dict:
     warmup = getattr(args, "warmup", 1)
     iters = getattr(args, "iters", 3)
 
+    import jax.numpy as jnp
+
+    # NB: host transfer (np.asarray) is the sync point — block_until_ready
+    # does not reliably block through the axon TPU tunnel.  timestamp0 is
+    # passed as a device array so each iteration reuses the same executable.
     t0 = time.time()
-    img, nrays = render_image_stats(scene, cfg, timestamp0=0)
-    jax.block_until_ready(img)
+    img, nrays = render_image_stats(scene, cfg, jnp.uint32(0))
+    np.asarray(img)
     compile_s = time.time() - t0
     for i in range(max(0, warmup - 1)):
-        jax.block_until_ready(render_image_stats(scene, cfg, timestamp0=i + 1)[0])
+        np.asarray(render_image_stats(scene, cfg, jnp.uint32(i + 1))[0])
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        img, nrays = render_image_stats(scene, cfg, timestamp0=100 + i)
-        jax.block_until_ready(img)
+        img, nrays = render_image_stats(scene, cfg, jnp.uint32(100 + i))
+        np.asarray(img)
         times.append(time.time() - t0)
+    nrays = float(np.asarray(nrays))
 
     seconds = float(np.median(times))
     total_rays = float(nrays)

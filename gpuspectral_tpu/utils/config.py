@@ -29,6 +29,9 @@ class RenderConfig:
     tri_chunk: int = 512  # triangles per intersection block
     use_bvh: bool = False  # hierarchical traversal (bvh/) vs brute force
     packet_size: int = 1024  # rays per BVH traversal packet
+    # "auto": Pallas fused kernels on TPU, Woop-XLA elsewhere.
+    # "pallas" | "woop" | "mt" force a specific implementation.
+    intersector: str = "auto"
     # "uniform" matches the reference (rayhit.rchit:148: randPcg % numLights);
     # "power" importance-samples lights by emitted power (lower variance on
     # many-light scenes, identical expectation)

@@ -95,7 +95,13 @@ def test_cornell_render_bvh_equals_bruteforce(cornell_scene):
     from gpuspectral_tpu.integrator import render_image
     from gpuspectral_tpu.utils import RenderConfig
 
-    cfg = RenderConfig(width=24, height=24, spp=4, max_depth=3, ray_batch=576, tri_chunk=128)
+    # pin the brute-force path to the same Moller-Trumbore arithmetic the
+    # BVH leaves use — different (equally valid) intersection arithmetic
+    # flips a handful of RNG-driven path decisions otherwise
+    cfg = RenderConfig(
+        width=24, height=24, spp=4, max_depth=3, ray_batch=576, tri_chunk=128,
+        intersector="mt",
+    )
     img_bf = np.asarray(render_image(cornell_scene, cfg))
     img_bvh = np.asarray(render_image(cornell_scene, cfg.replace(use_bvh=True, packet_size=576)))
     np.testing.assert_allclose(img_bvh, img_bf, rtol=1e-4, atol=1e-5)
