@@ -32,6 +32,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bvh", action="store_true", help="use LBVH packet traversal")
     p.add_argument("--packet-size", type=int, default=1024)
     p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
+    p.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
 
 
 class CliError(RuntimeError):
@@ -92,9 +93,12 @@ def cmd_render(args) -> int:
         f"lights={scene.num_lights}",
         file=sys.stderr,
     )
+    from ..utils.profiling import trace
+
     t0 = time.time()
-    img = render_image(scene, cfg, timestamp0=args.seed)
-    img = np.asarray(img)
+    with trace(args.profile):
+        img = render_image(scene, cfg, timestamp0=args.seed)
+        img = np.asarray(img)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.spp * (cfg.max_depth + 1)
     log.log(

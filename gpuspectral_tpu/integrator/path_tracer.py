@@ -182,6 +182,12 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
         bw[..., None] * nrm_c[:, 0] + bu[..., None] * nrm_c[:, 1] + bv[..., None] * nrm_c[:, 2]
     )
     gn = m3.normalize(jnp.cross(pos_c[:, 1] - pos_c[:, 0], pos_c[:, 2] - pos_c[:, 0]))
+    # orient the interpolated shading normal into the geometric hemisphere:
+    # negative-determinant object transforms flip inverse-transpose normals
+    # relative to the transformed winding, which would strand wi sampling on
+    # the wrong side (the reference inherits the same inconsistency; this is
+    # a no-op whenever source normals agree with winding)
+    sn = jnp.where(m3.dot(sn, gn)[..., None] < 0.0, -sn, sn)
 
     # two-faced flip for non-emitters viewed from behind (rayhit.rchit:698-707)
     backface = m3.dot(gn, -direction) < 0.0
@@ -462,23 +468,30 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
     budget; per-lane depth counters feed the RNG/RR (the bounce step is
     already elementwise in the depth).
 
-    Returns (radiance_sum (R,3), rays_traced (R,)) — divide by spp.
+    With cfg.sort_rays, lanes are periodically re-ordered by a direction-
+    octant + origin-Morton key to restore packet coherence for BVH
+    traversal; the pixel binding travels with the lane and results are
+    scattered back at the end (the estimator is permutation-invariant).
+
+    Returns (radiance_sum (R,3), rays_traced (R,), pixel (R,)) — lane order
+    may differ from input when sorting; divide radiance by spp and scatter
+    by pixel.
     """
     r = pixel_index.shape[0]
     t0 = jnp.uint32(timestamp0)
 
-    def fresh_ray(sample_idx):
-        seed = rng.pixel_seed(pixel_index, t0 + sample_idx)
+    def fresh_ray(pixel, sample_idx):
+        seed = rng.pixel_seed(pixel, t0 + sample_idx)
         jitter = None
         if cfg.jitter:
             jitter = (
                 rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_X),
                 rng.uniform(seed, jnp.uint32(0xFFFF), CH_JITTER_Y),
             )
-        o, d = generate_rays(scene.camera, cfg.width, cfg.height, pixel_index, jitter)
+        o, d = generate_rays(scene.camera, cfg.width, cfg.height, pixel, jitter)
         return o, d, seed
 
-    o0, d0, seed0 = fresh_ray(jnp.uint32(0))
+    o0, d0, seed0 = fresh_ray(pixel_index, jnp.uint32(0))
     state = dict(
         origin=o0,
         direction=d0,
@@ -494,6 +507,7 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
         seed=seed0,
         depth=jnp.zeros((r,), jnp.uint32),
         sample=jnp.zeros((r,), jnp.uint32),
+        pixel=pixel_index,
     )
 
     max_iters = cfg.spp * (cfg.max_depth + 1)
@@ -514,7 +528,7 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
         # regenerate finished lanes that still have samples left
         regen = st["done"] & (st["sample"] + 1 < cfg.spp)
         new_sample = jnp.where(regen, st["sample"] + 1, st["sample"])
-        o_n, d_n, seed_n = fresh_ray(new_sample)
+        o_n, d_n, seed_n = fresh_ray(st["pixel"], new_sample)
         rsel = regen[..., None]
         st["origin"] = jnp.where(rsel, o_n, st["origin"])
         st["direction"] = jnp.where(rsel, d_n, st["direction"])
@@ -528,10 +542,46 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
         st["depth"] = jnp.where(regen, 0, st["depth"])
         st["sample"] = new_sample
         st["done"] = st["done"] & (~regen)
+
+        if cfg.sort_rays:
+            def do_sort(s):
+                key = _ray_sort_key(scene, s["origin"], s["direction"], s["done"])
+                order = jnp.argsort(key)
+                return {k: v[order] for k, v in s.items()}
+
+            st = jax.lax.cond(
+                (it + 1) % cfg.sort_interval == 0, do_sort, lambda s: s, st
+            )
         return it + 1, st
 
     _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    return state["radiance"], state["rays_traced"]
+    return state["radiance"], state["rays_traced"], state["pixel"]
+
+
+def _ray_sort_key(scene: SceneData, origin, direction, done):
+    """int32 coherence key: direction octant (3 bits) | origin Morton (27).
+    Done lanes sort to the end."""
+    bb_min = scene.bvh_node_min[0]
+    bb_max = scene.bvh_node_max[0]
+    extent = jnp.maximum(bb_max - bb_min, 1e-6)
+    q = jnp.clip((origin - bb_min) / extent, 0.0, 1.0)
+    q = (q * 511.0).astype(jnp.uint32)  # 9 bits per axis
+
+    def expand9(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    morton = (expand9(q[:, 0]) << 2) | (expand9(q[:, 1]) << 1) | expand9(q[:, 2])
+    octant = (
+        ((direction[:, 0] < 0).astype(jnp.uint32) << 2)
+        | ((direction[:, 1] < 0).astype(jnp.uint32) << 1)
+        | (direction[:, 2] < 0).astype(jnp.uint32)
+    )
+    key = ((octant << 27) | (morton & jnp.uint32((1 << 27) - 1))).astype(jnp.int32)
+    return jnp.where(done, jnp.int32(2**30), key)
 
 
 def render_sample(
@@ -568,7 +618,10 @@ def render_image_stats(scene: SceneData, cfg: RenderConfig, timestamp0=0):
     timestamp0 = jnp.uint32(timestamp0)
 
     def render_batch(pix):
-        rad, rays = trace_wavefront(scene, cfg, pix, timestamp0)
+        rad, rays, pixel = trace_wavefront(scene, cfg, pix, timestamp0)
+        if cfg.sort_rays:  # lanes permuted: scatter back to pixel order
+            local = (pixel - pix[0]).astype(jnp.int32)
+            rad = jnp.zeros_like(rad).at[local].set(rad)
         return rad / cfg.spp, jnp.sum(rays.astype(jnp.float32))
 
     radiance, nrays = jax.lax.map(render_batch, pixel_index)

@@ -32,6 +32,11 @@ class RenderConfig:
     # "auto": Pallas fused kernels on TPU, Woop-XLA elsewhere.
     # "pallas" | "woop" | "mt" force a specific implementation.
     intersector: str = "auto"
+    # periodic wavefront re-sorting by direction octant + origin Morton key:
+    # restores packet coherence for BVH traversal on bounced rays (the EP/
+    # queue-compaction analogue, SURVEY.md §2.3); irrelevant to brute force
+    sort_rays: bool = False
+    sort_interval: int = 4  # bounce iterations between sorts
     # "uniform" matches the reference (rayhit.rchit:148: randPcg % numLights);
     # "power" importance-samples lights by emitted power (lower variance on
     # many-light scenes, identical expectation)
