@@ -82,18 +82,19 @@ def _tri_table(scene: SceneData):
     hoists it out of the bounce loop."""
     t = scene.tri_pos.shape[0]
     f32 = jnp.float32
-    return jnp.concatenate(
-        [
-            scene.tri_pos.reshape(t, 9),  # 0:9
-            scene.tri_nrm.reshape(t, 9),  # 9:18
-            scene.tri_emission,  # 18:21
-            scene.tri_twofaced[:, None].astype(f32),  # 21
-            scene.tri_light_idx[:, None].astype(f32),  # 22
-            scene.bsdf_kind[scene.tri_bsdf][:, None].astype(f32),  # 23
-            scene.bsdf_params[scene.tri_bsdf],  # 24:36
-        ],
-        axis=1,
-    )
+    cols = [
+        scene.tri_pos.reshape(t, 9),  # 0:9
+        scene.tri_nrm.reshape(t, 9),  # 9:18
+        scene.tri_emission,  # 18:21
+        scene.tri_twofaced[:, None].astype(f32),  # 21
+        scene.tri_light_idx[:, None].astype(f32),  # 22
+        scene.bsdf_kind[scene.tri_bsdf][:, None].astype(f32),  # 23
+        scene.bsdf_params[scene.tri_bsdf],  # 24:36
+    ]
+    if scene.has_textures:
+        cols.append(scene.tri_uv.reshape(t, 6))  # 36:42
+        cols.append(scene.bsdf_tex[scene.tri_bsdf][:, None].astype(f32))  # 42
+    return jnp.concatenate(cols, axis=1)
 
 
 def _gather_tri(scene: SceneData, prim, tri_table=None):
@@ -111,7 +112,27 @@ def _gather_tri(scene: SceneData, prim, tri_table=None):
         rows[:, 18:21],  # emission
         rows[:, 21] > 0.5,  # twofaced
         jnp.round(rows[:, 22]).astype(jnp.int32),  # light idx
+        rows,  # full rows (uv/tex columns when textured)
     )
+
+
+def _texture_modulation(scene: SceneData, rows, bu, bv):
+    """Per-hit texture color for textured bsdf rows (1.0 elsewhere).
+    Nearest-neighbor lookup in the fixed-resolution atlas; wrap addressing."""
+    r = rows.shape[0]
+    uv_c = rows[:, 36:42].reshape(r, 3, 2)
+    bw = 1.0 - bu - bv
+    uv = bw[:, None] * uv_c[:, 0] + bu[:, None] * uv_c[:, 1] + bv[:, None] * uv_c[:, 2]
+    tex_id = jnp.round(rows[:, 42]).astype(jnp.int32)
+    res = scene.textures.shape[1]
+    u = uv[:, 0] - jnp.floor(uv[:, 0])
+    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    px = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    py = jnp.clip(((1.0 - v) * res).astype(jnp.int32), 0, res - 1)
+    flat = scene.textures.reshape(-1, 3)
+    idx = jnp.maximum(tex_id, 0) * res * res + py * res + px
+    texel = flat[idx]
+    return jnp.where((tex_id >= 0)[:, None], texel, 1.0)
 
 
 def _resolve_intersector(cfg: RenderConfig) -> str:
@@ -168,7 +189,12 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     hit = (prim >= 0) & alive
     miss = (~(prim >= 0)) & alive
 
-    pos_c, nrm_c, bparams, bkind, emission, twofaced, tri_lidx = _gather_tri(scene, prim)
+    pos_c, nrm_c, bparams, bkind, emission, twofaced, tri_lidx, _rows = _gather_tri(scene, prim)
+    if scene.has_textures:
+        # modulate the diffuse/reflectance color by the bound texture —
+        # unlike the reference, whose texture plumbing is stubbed
+        mod = _texture_modulation(scene, _rows, bu, bv)
+        bparams = bparams.at[:, 0:3].multiply(mod)
 
     # hit position along the ray (rayhit.rchit:692).  Miss lanes carry
     # t = 1e30; clamp them to keep downstream math (and its *gradients*)

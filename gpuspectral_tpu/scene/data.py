@@ -29,6 +29,7 @@ import numpy as np
 from ..bsdf.table import BSDFTable, NUM_PARAMS
 
 PAD_MULTIPLE = 128
+TEX_RES = 256  # atlas resolution every texture is resampled to
 # Padding triangles are zero-area points at the origin: their edge cross
 # product is exactly 0, so Moller-Trumbore rejects them as parallel — they
 # can never alias a real hit and never produce inf/nan intermediates.
@@ -59,6 +60,11 @@ class SceneData:
     # bsdf tables
     bsdf_kind: jax.Array  # (B,) int32
     bsdf_params: jax.Array  # (B,NUM_PARAMS) float32
+    # textures: fixed-size atlas; bsdf_tex maps bsdf row -> texture (-1 none).
+    # The reference parses texture refs but never binds them
+    # (Loader.cpp:122-143, BSDF hasTexture fields unused); here they shade.
+    textures: jax.Array  # (N_tex, TEX_RES, TEX_RES, 3) float32, linear
+    bsdf_tex: jax.Array  # (B,) int32
     # lights, padded to >=1
     light_pos: jax.Array  # (L,3,3) float32 world-space vertices
     light_emission: jax.Array  # (L,3) float32 radiance
@@ -80,6 +86,7 @@ class SceneData:
     # which BSDF kinds actually occur (static): the dispatch only computes
     # these branches — a scene-specialized integrator compile
     kinds_present: tuple = dataclasses.field(metadata=dict(static=True))
+    has_textures: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
     def padded_tris(self) -> int:
@@ -103,6 +110,8 @@ class SceneBuilder:
     light_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
     light_emission: List[np.ndarray] = dataclasses.field(default_factory=list)
     bsdfs: BSDFTable = dataclasses.field(default_factory=BSDFTable)
+    textures: List[np.ndarray] = dataclasses.field(default_factory=list)
+    bsdf_tex: List[int] = dataclasses.field(default_factory=list)
     cam_to_world: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
@@ -112,8 +121,16 @@ class SceneBuilder:
     film_spp: int = 64
     max_depth: int = 50
 
-    def add_bsdf(self, kind_row) -> int:
-        return self.bsdfs.add(kind_row)
+    def add_bsdf(self, kind_row, texture: Optional[np.ndarray] = None) -> int:
+        """texture: optional (TEX_RES, TEX_RES, 3) linear float32 modulating
+        the bsdf's diffuse/reflectance color."""
+        idx = self.bsdfs.add(kind_row)
+        if texture is not None:
+            self.textures.append(np.asarray(texture, np.float32))
+            self.bsdf_tex.append(len(self.textures) - 1)
+        else:
+            self.bsdf_tex.append(-1)
+        return idx
 
     def add_object(
         self,
@@ -229,6 +246,18 @@ def build_scene(b: SceneBuilder) -> SceneData:
     cdf[-1] = 1.0
 
     kinds, params = b.bsdfs.pack()
+    if b.textures:
+        tex_atlas = np.stack(b.textures).astype(np.float32)
+    else:
+        tex_atlas = np.zeros((1, 1, 1, 3), np.float32)
+    bsdf_tex = np.asarray(
+        (b.bsdf_tex + [-1])[: len(kinds)] if b.bsdf_tex else [-1] * len(kinds),
+        np.int32,
+    )
+    if bsdf_tex.shape[0] < len(kinds):
+        bsdf_tex = np.concatenate(
+            [bsdf_tex, np.full((len(kinds) - bsdf_tex.shape[0],), -1, np.int32)]
+        )
 
     return SceneData(
         tri_pos=jnp.asarray(pos),
@@ -242,6 +271,8 @@ def build_scene(b: SceneBuilder) -> SceneData:
         tri_woop_t=jnp.asarray(woop.T.copy()),
         bsdf_kind=jnp.asarray(kinds),
         bsdf_params=jnp.asarray(params),
+        textures=jnp.asarray(tex_atlas),
+        bsdf_tex=jnp.asarray(bsdf_tex),
         light_pos=jnp.asarray(lpos),
         light_emission=jnp.asarray(lemit),
         light_cdf=jnp.asarray(cdf),
@@ -258,4 +289,5 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh_leaf_size=bvh.leaf_size,
         bvh_levels=bvh.n_levels,
         kinds_present=tuple(sorted(set(int(k) for k in kinds))),
+        has_textures=bool(b.textures),
     )

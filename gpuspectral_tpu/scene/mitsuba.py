@@ -162,14 +162,30 @@ class _MaterialSpec:
         self.face_normals = False
 
 
-def _load_bsdf_into(builder: SceneBuilder, mat: _MaterialSpec, elem: ET.Element) -> None:
+def _texture_for(elem: ET.Element, prop_name: str, parent_dir: str):
+    """Find a <texture> child bound to `prop_name` and load it (unlike the
+    reference, which parses these but leaves them unbound, Loader.cpp:122-143)."""
+    from .texture import load_texture_element
+
+    for child in elem:
+        if child.tag == "texture" and _snake(child.get("name", "")) == prop_name:
+            return load_texture_element(child, parent_dir)
+    return None
+
+
+def _load_bsdf_into(
+    builder: SceneBuilder, mat: _MaterialSpec, elem: ET.Element, parent_dir: str = "."
+) -> None:
     """Recursive translation of <bsdf> elements (Loader.cpp:145-234)."""
     btype = elem.get("type", "")
     props = _Props(elem)
     if btype == "twosided":
         mat.twofaced = True
     elif btype == "diffuse":
-        mat.bsdf_index = builder.add_bsdf(bt.diffuse(props.color("reflectance", (0.5, 0.5, 0.5))))
+        mat.bsdf_index = builder.add_bsdf(
+            bt.diffuse(props.color("reflectance", (0.5, 0.5, 0.5))),
+            texture=_texture_for(elem, "reflectance", parent_dir),
+        )
     elif btype == "roughplastic":
         ior = props.number("int_ior", 1.3)
         r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
@@ -182,7 +198,8 @@ def _load_bsdf_into(builder: SceneBuilder, mat: _MaterialSpec, elem: ET.Element)
                 r0=r0,
                 # the reference widens alpha by sqrt(2) (Loader.cpp:179)
                 alpha=float(np.sqrt(2.0)) * alpha,
-            )
+            ),
+            texture=_texture_for(elem, "diffuse_reflectance", parent_dir),
         )
     elif btype == "dielectric":
         mat.bsdf_index = builder.add_bsdf(
@@ -219,7 +236,7 @@ def _load_bsdf_into(builder: SceneBuilder, mat: _MaterialSpec, elem: ET.Element)
     # recurse into nested bsdfs (e.g. twosided wrappers), Loader.cpp:229-233
     for child in elem:
         if child.tag == "bsdf":
-            _load_bsdf_into(builder, mat, child)
+            _load_bsdf_into(builder, mat, child, parent_dir)
 
 
 def load_mitsuba_scene(
@@ -267,9 +284,9 @@ def load_mitsuba_scene(
                 if child.tag == "ref":
                     ref = named_bsdfs.get(child.get("id"))
                     if ref is not None:
-                        _load_bsdf_into(b, mat, ref)
+                        _load_bsdf_into(b, mat, ref, parent)
                 elif child.tag == "bsdf":
-                    _load_bsdf_into(b, mat, child)
+                    _load_bsdf_into(b, mat, child, parent)
                 elif child.tag == "emitter" and child.get("type") == "area":
                     mat.emission = _Props(child).color("radiance")
 

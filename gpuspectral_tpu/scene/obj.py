@@ -155,17 +155,20 @@ def _soup(pos, nrm, uv=None):
 
 def make_rectangle():
     """Unit rectangle in [-1,1]^2 at z=0, +z normal — the geometry the
-    reference ships as assets/rect.obj for the `rectangle` shape plugin."""
+    reference ships as assets/rect.obj for the `rectangle` shape plugin
+    (same winding and vt layout)."""
     v1, v2, v3, v4 = [-1, 1, 0], [1, 1, 0], [-1, -1, 0], [1, -1, 0]
+    t1, t2, t3, t4 = [0, 1], [1, 1], [0, 0], [1, 0]
     pos = np.array([[v1, v3, v2], [v3, v4, v2]], np.float32)
+    uv = np.array([[t1, t3, t2], [t3, t4, t2]], np.float32)
     n = np.broadcast_to(np.array([0, 0, 1], np.float32), (2, 3, 3)).copy()
-    return _soup(pos, n)
+    return _soup(pos, n, uv)
 
 
 def make_cube():
     """Axis-aligned [-1,1]^3 cube (12 tris, outward normals) — the geometry
     behind the `cube` shape plugin (assets/box.obj)."""
-    tris, nrms = [], []
+    tris, nrms, uvs = [], [], []
     for axis in range(3):
         for sgn in (1.0, -1.0):
             n = np.zeros(3, np.float32)
@@ -179,7 +182,8 @@ def make_cube():
             tris.append([q[0], q[1], q[2]])
             tris.append([q[0], q[2], q[3]])
             nrms += [[n, n, n], [n, n, n]]
-    return _soup(np.asarray(tris), np.asarray(nrms))
+            uvs += [[[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]]]
+    return _soup(np.asarray(tris), np.asarray(nrms), np.asarray(uvs, np.float32))
 
 
 def make_disk(segments: int = 64):
