@@ -33,6 +33,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--packet-size", type=int, default=1024)
     p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
     p.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
+    p.add_argument(
+        "--intersector", default="auto", choices=["auto", "mega", "pallas", "woop", "mt"],
+        help="auto: fused megakernel on TPU when eligible, else Pallas/Woop",
+    )
 
 
 class CliError(RuntimeError):
@@ -64,6 +68,7 @@ def _build(args):
         ray_batch=args.ray_batch,
         use_bvh=getattr(args, "bvh", False),
         packet_size=getattr(args, "packet_size", 1024),
+        intersector=getattr(args, "intersector", "auto"),
     )
     return scene, cfg
 
@@ -95,9 +100,11 @@ def cmd_render(args) -> int:
     )
     from ..utils.profiling import trace
 
+    from ..integrator import render_image_auto
+
     t0 = time.time()
     with trace(args.profile):
-        img = render_image(scene, cfg, timestamp0=args.seed)
+        img = render_image_auto(scene, cfg, timestamp0=args.seed)
         img = np.asarray(img)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.spp * (cfg.max_depth + 1)

@@ -1,1 +1,30 @@
 from .path_tracer import render_image, trace_rays, render_sample  # noqa: F401
+
+
+def render_image_stats_auto(scene, cfg, timestamp0: int = 0):
+    """Render (H, W, 3) + total rays traced, picking the fastest integrator.
+
+    On TPU, eligible (scene, cfg) pairs (brute-force scale, untextured,
+    uniform light selection) run the fused Pallas megakernel (integrator/
+    mega.py, measured ~12x the XLA wavefront on Cornell 512^2); everything
+    else — BVH scenes, textures, gradients — uses the XLA wavefront.
+    `cfg.intersector == "mega"` forces the megakernel (interpreted off-TPU,
+    for tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .mega import mega_eligible, render_mega
+    from .path_tracer import render_image_stats
+
+    forced = cfg.intersector == "mega"
+    if mega_eligible(scene, cfg) and (
+        forced or (cfg.intersector == "auto" and jax.default_backend() == "tpu")
+    ):
+        interpret = jax.default_backend() != "tpu"
+        return render_mega(scene, cfg, timestamp0, interpret=interpret)
+    return render_image_stats(scene, cfg, jnp.uint32(timestamp0))
+
+
+def render_image_auto(scene, cfg, timestamp0: int = 0):
+    """Render (H, W, 3); see render_image_stats_auto."""
+    return render_image_stats_auto(scene, cfg, timestamp0)[0]

@@ -72,7 +72,12 @@ def _take_rows(table, idx):
     t = table.shape[0]
     if t <= _ONEHOT_MAX:
         oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(table.dtype)
-        return jnp.dot(oh, table, preferred_element_type=table.dtype)
+        # HIGHEST precision: the MXU's default f32 matmul quantizes the table
+        # operand to bfloat16 — positions/normals/emission would lose ~16 bits
+        return jnp.dot(
+            oh, table, preferred_element_type=table.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return table[idx]
 
 

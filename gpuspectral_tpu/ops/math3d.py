@@ -76,20 +76,33 @@ def onb_local_to_world(t, b, n, v):
     return t * v[..., 0:1] + b * v[..., 1:2] + n * v[..., 2:3]
 
 
+def _mat3_apply(m3x3, v):
+    # explicit products: TPU matmuls at default precision round f32 operands
+    # to bfloat16 — geometry cannot afford that
+    return jnp.stack(
+        [
+            m3x3[0, 0] * v[..., 0] + m3x3[0, 1] * v[..., 1] + m3x3[0, 2] * v[..., 2],
+            m3x3[1, 0] * v[..., 0] + m3x3[1, 1] * v[..., 1] + m3x3[1, 2] * v[..., 2],
+            m3x3[2, 0] * v[..., 0] + m3x3[2, 1] * v[..., 1] + m3x3[2, 2] * v[..., 2],
+        ],
+        axis=-1,
+    )
+
+
 def transform_points(mat4, pts):
     """Apply a 4x4 homogeneous transform to (..., 3) points."""
-    return pts @ mat4[:3, :3].T + mat4[:3, 3]
+    return _mat3_apply(mat4[:3, :3], pts) + mat4[:3, 3]
 
 
 def transform_dirs(mat4, dirs):
     """Apply a 4x4 transform's linear part to (..., 3) directions."""
-    return dirs @ mat4[:3, :3].T
+    return _mat3_apply(mat4[:3, :3], dirs)
 
 
 def transform_normals(mat4, normals):
     """Transform normals by the inverse-transpose of the linear part."""
     inv_t = jnp.linalg.inv(mat4[:3, :3]).T
-    return normals @ inv_t.T
+    return _mat3_apply(inv_t, normals)
 
 
 def is_finite3(v):

@@ -37,7 +37,18 @@ def generate_rays(cam: CameraData, width: int, height: int, pixel_index, jitter_
     d_cam = m3.normalize(
         jnp.stack([-xy_x, xy_y, jnp.broadcast_to(z, xy_x.shape)], axis=-1)
     )
-    d_world = d_cam @ cam.to_world[:3, :3].T
-    d_world = d_world * jnp.asarray([1.0, -1.0, 1.0], d_world.dtype)
+    # Explicit component products, NOT a (R,3)@(3,3) matmul: on TPU the MXU's
+    # default f32 precision is bfloat16 passes, which quantizes ray directions
+    # to ~8 mantissa bits (a measured 1e-3 geometric error on primary hits).
+    r = cam.to_world[:3, :3]
+    dx, dy, dz = d_cam[..., 0], d_cam[..., 1], d_cam[..., 2]
+    d_world = jnp.stack(
+        [
+            r[0, 0] * dx + r[0, 1] * dy + r[0, 2] * dz,
+            -(r[1, 0] * dx + r[1, 1] * dy + r[1, 2] * dz),
+            r[2, 0] * dx + r[2, 1] * dy + r[2, 2] * dz,
+        ],
+        axis=-1,
+    )
     origin = jnp.broadcast_to(cam.to_world[:3, 3], d_world.shape)
     return origin, d_world

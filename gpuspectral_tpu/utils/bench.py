@@ -14,7 +14,7 @@ import numpy as np
 
 def run_benchmark(args) -> dict:
     from ..cli.main import _build
-    from ..integrator.path_tracer import render_image_stats
+    from ..integrator import render_image_stats_auto as render_image_stats
 
     scene, cfg = _build(args)
     warmup = getattr(args, "warmup", 1)
