@@ -52,7 +52,7 @@ from ..utils.config import RenderConfig
 M_PI = jnp.pi
 _BIG = 1e30
 
-SUB = 8  # sublanes per ray tile
+SUB = 16  # sublanes per ray tile (2 f32 vregs per state plane)
 LANES = 128  # lane width
 BLOCK = SUB * LANES  # rays per grid step (one (8,128) tile per state var)
 
@@ -679,6 +679,22 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
+    # attr rows actually consumed by this (scene, config): the gather loop is
+    # O(n_tris x rows), so skipping rows the present BSDF set never reads is
+    # a direct win (e.g. diffuse-only Cornell reads 19 of 31 rows)
+    _params_used = {
+        BSDF_DIFFUSE: 3, BSDF_SMOOTH_DIELECTRIC: 2, BSDF_SMOOTH_CONDUCTOR: 2,
+        BSDF_SMOOTH_PLASTIC: 6, BSDF_ROUGH_CONDUCTOR: 10, BSDF_SMOOTH_FLOOR: 4,
+        BSDF_ROUGH_FLOOR: 5, BSDF_ROUGH_PLASTIC: 7,
+    }
+    nparams = max(_params_used[k] for k in present)
+    needed_rows = frozenset(
+        list(range(0, 13))  # corner normals, emission, twofaced
+        + ([14] if len(present) > 1 else [])  # kind (single-kind: constant)
+        + list(range(15, 15 + nparams))  # bsdf params
+        + list(range(27, 30))  # geometric normal
+        + ([30] if (cfg.nee and cfg.mis_mode == "exact") else [])  # area
+    )
 
     def kernel(pix_ref, woop_ref, attr_ref, light_ref, cam_ref, ts_ref,
                rad_r_ref, rad_g_ref, rad_b_ref, rays_ref):
@@ -721,31 +737,38 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
 
         o0, d0, seed0 = fresh(pix, jnp.uint32(0))
 
+        def _woop_test(ti, o, d, t_lo, t_hi):
+            """One Woop unit-triangle test (ops/woop.py semantics): returns
+            (t, u, v, hit) for triangle ti against all lanes."""
+            ax0, ax1, ax2 = woop_ref[0, ti], woop_ref[1, ti], woop_ref[2, ti]
+            ay0, ay1, ay2 = woop_ref[3, ti], woop_ref[4, ti], woop_ref[5, ti]
+            az0, az1, az2 = woop_ref[6, ti], woop_ref[7, ti], woop_ref[8, ti]
+            bx, by, bz = woop_ref[9, ti], woop_ref[10, ti], woop_ref[11, ti]
+            opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
+            dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
+            live = jnp.abs(dpz) > 1e-12
+            t = -opz / jnp.where(live, dpz, 1.0)
+            px = o[0] + t * d[0]
+            py = o[1] + t * d[1]
+            pz = o[2] + t * d[2]
+            u = px * ax0 + py * ax1 + pz * ax2 + bx
+            v = px * ay0 + py * ay1 + pz * ay2 + by
+            hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_lo) & (t < t_hi)
+            return t, u, v, hit
+
         def intersect_closest(o, d, alive):
             t_max0 = jnp.where(alive, _BIG, -_BIG)
 
             def tri(ti, carry):
                 best_t, best_prim, best_u, best_v = carry
-                ax0, ax1, ax2 = woop_ref[0, ti], woop_ref[1, ti], woop_ref[2, ti]
-                ay0, ay1, ay2 = woop_ref[3, ti], woop_ref[4, ti], woop_ref[5, ti]
-                az0, az1, az2 = woop_ref[6, ti], woop_ref[7, ti], woop_ref[8, ti]
-                bx, by, bz = woop_ref[9, ti], woop_ref[10, ti], woop_ref[11, ti]
-                opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
-                dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
-                live = jnp.abs(dpz) > 1e-12
-                t = -opz / jnp.where(live, dpz, 1.0)
-                px = o[0] + t * d[0]
-                py = o[1] + t * d[1]
-                pz = o[2] + t * d[2]
-                u = px * ax0 + py * ax1 + pz * ax2 + bx
-                v = px * ay0 + py * ay1 + pz * ay2 + by
-                hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t < t_max0)
+                t, u, v, hit = _woop_test(ti, o, d, 0.0, t_max0)
                 closer = hit & (t < best_t)
-                best_prim = jnp.where(closer, ti, best_prim)
-                best_u = jnp.where(closer, u, best_u)
-                best_v = jnp.where(closer, v, best_v)
-                best_t = jnp.where(closer, t, best_t)
-                return best_t, best_prim, best_u, best_v
+                return (
+                    jnp.where(closer, t, best_t),
+                    jnp.where(closer, ti, best_prim),
+                    jnp.where(closer, u, best_u),
+                    jnp.where(closer, v, best_v),
+                )
 
             init = (jnp.full((SUB, LANES), _BIG, jnp.float32),
                     jnp.full((SUB, LANES), -1, jnp.int32), zf, zf)
@@ -756,20 +779,7 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             t_max = jnp.where(active, t_max, -1.0)
 
             def tri(ti, occ):
-                ax0, ax1, ax2 = woop_ref[0, ti], woop_ref[1, ti], woop_ref[2, ti]
-                ay0, ay1, ay2 = woop_ref[3, ti], woop_ref[4, ti], woop_ref[5, ti]
-                az0, az1, az2 = woop_ref[6, ti], woop_ref[7, ti], woop_ref[8, ti]
-                bx, by, bz = woop_ref[9, ti], woop_ref[10, ti], woop_ref[11, ti]
-                opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
-                dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
-                live = jnp.abs(dpz) > 1e-12
-                t = -opz / jnp.where(live, dpz, 1.0)
-                px = o[0] + t * d[0]
-                py = o[1] + t * d[1]
-                pz = o[2] + t * d[2]
-                u = px * ax0 + py * ax1 + pz * ax2 + bx
-                v = px * ay0 + py * ay1 + pz * ay2 + by
-                hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_min) & (t < t_max)
+                _t, _u, _v, hit = _woop_test(ti, o, d, t_min, t_max)
                 return jnp.where(hit, 1, occ)  # int32 carry: i1 loop carries trip Mosaic
 
             return jax.lax.fori_loop(0, n_tris, tri, zi) != 0
@@ -777,11 +787,13 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
         def gather_attrs(prim):
             """Select-chain gather over the SMEM attr table: per-triangle
             scalar broadcasts at full VPU width (the one-hot-matmul analogue
-            for scalar tables)."""
+            for scalar tables).  Rows outside `needed_rows` stay zero."""
             def tri(ti, acc):
                 sel = prim == ti
                 return tuple(
-                    jnp.where(sel, attr_ref[c, ti], acc[c]) for c in range(_NA)
+                    jnp.where(sel, attr_ref[c, ti], acc[c]) if c in needed_rows
+                    else acc[c]
+                    for c in range(_NA)
                 )
 
             init = tuple(zf for _ in range(_NA))
@@ -839,7 +851,10 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             emission = (a[9], a[10], a[11])
             twofaced = a[12] > 0.5
             p = a[15:27]
-            kind = jnp.round(a[14]).astype(jnp.int32)
+            if len(present) == 1:  # kind row not gathered; constant
+                kind = jnp.full((SUB, LANES), present[0], jnp.int32)
+            else:
+                kind = jnp.round(a[14]).astype(jnp.int32)
             gn = (a[27], a[28], a[29])
 
             t_safe = jnp.where(hit, t, 1.0)

@@ -1,5 +1,5 @@
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gpuspectral_tpu.utils.jaxcache import enable as _enable_cache
 _enable_cache()
 import numpy as np, jax.numpy as jnp, jax
