@@ -1,0 +1,336 @@
+"""Flattened cluster-sweep intersection for BVH-scale scenes (TPU Pallas).
+
+The reference gets hierarchy traversal for free from RT cores
+(`VulkanRays.cpp`, `traceRayEXT`).  A per-ray divergent tree walk is the
+wrong shape for a TPU, and even packet traversal (bvh/traverse.py) executes
+as thousands of tiny scalar-voted node steps per packet — measured 0.13
+Mrays/s on a 31k-triangle scene.  This module replaces the *walk* with a
+*sweep* over the LBVH's Morton-ordered leaf clusters, reformulated as dense
+vector work plus real branches at cluster granularity:
+
+  kernel A (votes): for every (ray block, supernode) — a supernode is a
+    contiguous run of K clusters, so a Morton/LBVH subtree range — one dense
+    slab test with supernodes in lanes.  Emits an (n_blocks, S) int32 vote
+    matrix.  O(R x S) elementwise work with S <= 1024.
+  kernel B (sweep): per ray block, loop supernodes; `@pl.when(vote == 0)`
+    skips unvoted ones entirely (votes arrive through SMEM — the only
+    memory the scalar unit can read); voted supernodes Woop-test their
+    clusters' 64-triangle leaves as dense (B, 64) tiles with triangles in
+    lanes, folding min/argmin (+ u, v) into VMEM scratch.
+
+Morton order makes supernodes spatially tight, so votes cull like a 2-level
+BVH while every surviving test runs at full VPU width.  The integrator's
+`sort_rays` tightens votes further for bounce rays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+BLOCK = 1024  # rays per grid step (sublane-major; intermediates are (B, 128))
+LANE = 128
+MAX_SUPERNODES = 1024
+LEAF = 64  # triangles per cluster (bvh/build.py leaf_size)
+SWEEP = 128  # triangles per gated test: dynamic lane slices must be 128 wide,
+#              so the sweep visits clusters in Morton-adjacent pairs
+
+
+# ---------------------------------------------------------------------------
+# kernel A: votes
+# ---------------------------------------------------------------------------
+
+
+def _inv_dir(dx):
+    mag = jnp.maximum(jnp.abs(dx), 1e-12)
+    return 1.0 / jnp.where(dx < 0, -mag, mag)
+
+
+def _slab_chunk(o, di, tmin, tmax, lo, hi):
+    """(B,1) rays x ((1,C) per-axis bounds) -> (B,C) AABB overlap mask."""
+    t0x = (lo[0] - o[0]) * di[0]
+    t1x = (hi[0] - o[0]) * di[0]
+    t0y = (lo[1] - o[1]) * di[1]
+    t1y = (hi[1] - o[1]) * di[1]
+    t0z = (lo[2] - o[2]) * di[2]
+    t1z = (hi[2] - o[2]) * di[2]
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), tmax),
+    )
+    return t_far >= t_near
+
+
+def _votes_kernel(o_ref, d_ref, tmin_ref, tmax_ref, blo_ref, bhi_ref, votes_ref,
+                  *, n_chunks):
+    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
+    di = (_inv_dir(d_ref[:, 0:1]), _inv_dir(d_ref[:, 1:2]), _inv_dir(d_ref[:, 2:3]))
+    tmin = tmin_ref[:, 0:1]
+    tmax = tmax_ref[:, 0:1]
+    for c in range(n_chunks):  # static: S/LANE <= 8
+        sl = pl.ds(c * LANE, LANE)
+        lo = (blo_ref[0, sl][None, :], blo_ref[1, sl][None, :], blo_ref[2, sl][None, :])
+        hi = (bhi_ref[0, sl][None, :], bhi_ref[1, sl][None, :], bhi_ref[2, sl][None, :])
+        hit = _slab_chunk(o, di, tmin, tmax, lo, hi)
+        vote = jnp.any(hit, axis=0, keepdims=True).astype(jnp.int32)
+        # (8, LANE) broadcast: VMEM output blocks need sublane dim % 8
+        votes_ref[:, sl] = jnp.broadcast_to(vote, (8, LANE))
+
+
+# ---------------------------------------------------------------------------
+# kernel B: gated leaf sweep
+# ---------------------------------------------------------------------------
+
+
+def _woop_leaf(woop_ref, off, o, d, tmin, tmax):
+    """(B,1) rays vs one 128-triangle (cluster pair) slab at triangle offset
+    `off` -> (t, u, v) as (B,128) with misses at t=+BIG (ops/woop.py test)."""
+    sl = pl.ds(pl.multiple_of(off, SWEEP), SWEEP)
+    r = [woop_ref[i, sl][None, :] for i in range(12)]
+    ax0, ax1, ax2, ay0, ay1, ay2, az0, az1, az2, bx, by, bz = r
+    opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
+    dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
+    live = jnp.abs(dpz) > 1e-12
+    t = -opz / jnp.where(live, dpz, 1.0)
+    px = o[0] + t * d[0]
+    py = o[1] + t * d[1]
+    pz = o[2] + t * d[2]
+    u = px * ax0 + py * ax1 + pz * ax2 + bx
+    v = px * ay0 + py * ay1 + pz * ay2 + by
+    hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax)
+    return jnp.where(hit, t, _BIG), u, v
+
+
+def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
+                          t_out, prim_out, u_out, v_out,
+                          bt_s, bp_s, bu_s, bv_s,
+                          *, n_super, k_clusters):
+    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
+    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
+    tmin = tmin_ref[:, 0:1]
+    tmax = tmax_ref[:, 0:1]
+    bt_s[:, :] = jnp.full(bt_s.shape, _BIG, jnp.float32)
+    bp_s[:, :] = jnp.full(bp_s.shape, -1, jnp.int32)
+    bu_s[:, :] = jnp.zeros(bu_s.shape, jnp.float32)
+    bv_s[:, :] = jnp.zeros(bv_s.shape, jnp.float32)
+
+    def supernode(s, carry):
+        @pl.when(votes_ref[0, s] > 0)
+        def _():
+            def leaf(k, c2):
+                off = (s * k_clusters) * LEAF + k * SWEEP
+                t, u, v = _woop_leaf(
+                    woop_ref, off, o, d, tmin, jnp.minimum(tmax, bt_s[:, 0:1])
+                )
+                t_new = jnp.min(t, axis=1, keepdims=True)
+                arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+                closer = t_new < bt_s[:, :]
+                # select u, v of the argmin lane
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                first = lane == arg
+                u_sel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
+                v_sel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
+                bp_s[:, :] = jnp.where(closer, off + arg, bp_s[:, :])
+                bu_s[:, :] = jnp.where(closer, u_sel, bu_s[:, :])
+                bv_s[:, :] = jnp.where(closer, v_sel, bv_s[:, :])
+                bt_s[:, :] = jnp.where(closer, t_new, bt_s[:, :])
+                return c2
+
+            jax.lax.fori_loop(0, k_clusters // 2, leaf, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_super, supernode, 0)
+
+    bt = bt_s[:, :]
+    t_out[:, :] = bt
+    prim_out[:, :] = jnp.where(bt < _BIG, bp_s[:, :], -1)
+    u_out[:, :] = jnp.where(bt < _BIG, bu_s[:, :], 0.0)
+    v_out[:, :] = jnp.where(bt < _BIG, bv_s[:, :], 0.0)
+
+
+def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
+                      occ_out, occ_s,
+                      *, n_super, k_clusters):
+    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
+    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
+    tmin = tmin_ref[:, 0:1]
+    tmax = tmax_ref[:, 0:1]
+    occ_s[:, :] = jnp.zeros(occ_s.shape, jnp.int32)
+
+    def supernode(s, carry):
+        @pl.when(votes_ref[0, s] > 0)
+        def _():
+            def leaf(k, c2):
+                off = (s * k_clusters) * LEAF + k * SWEEP
+                t, _u, _v = _woop_leaf(woop_ref, off, o, d, tmin, tmax)
+                hit = jnp.any(t < _BIG, axis=1, keepdims=True)
+                occ_s[:, :] = jnp.where(hit, 1, occ_s[:, :])
+                return c2
+
+            jax.lax.fori_loop(0, k_clusters // 2, leaf, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_super, supernode, 0)
+    occ_out[:, :] = occ_s[:, :]
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _supernode_tables(node_min, node_max, n_clusters: int, padded_tris: int):
+    """(blo (3,Sp), bhi (3,Sp), woop-pad count, S, K): group the LBVH's leaf
+    clusters (Morton-contiguous) into S <= MAX_SUPERNODES supernodes of K
+    clusters and reduce their AABBs.  Padding supernodes get inverted bounds
+    (never hit)."""
+    first_leaf = n_clusters - 1
+    cl_min = node_min[first_leaf : first_leaf + n_clusters]
+    cl_max = node_max[first_leaf : first_leaf + n_clusters]
+    k = -(-n_clusters // MAX_SUPERNODES)
+    k = k + (k & 1)  # even: the sweep tests clusters in pairs (128-wide)
+    s = -(-n_clusters // k)
+    pad_cl = s * k - n_clusters
+    if pad_cl:
+        cl_min = jnp.concatenate([cl_min, jnp.full((pad_cl, 3), _BIG)], axis=0)
+        cl_max = jnp.concatenate([cl_max, jnp.full((pad_cl, 3), -_BIG)], axis=0)
+    sn_min = cl_min.reshape(s, k, 3).min(axis=1)
+    sn_max = cl_max.reshape(s, k, 3).max(axis=1)
+    sp = -(-s // LANE) * LANE
+    if sp != s:
+        sn_min = jnp.concatenate([sn_min, jnp.full((sp - s, 3), _BIG)], axis=0)
+        sn_max = jnp.concatenate([sn_max, jnp.full((sp - s, 3), -_BIG)], axis=0)
+    tri_needed = s * k * LEAF
+    return sn_min.T, sn_max.T, max(0, tri_needed - padded_tris), s, k
+
+
+def _pad_rays(origin, direction, t_min, t_max):
+    r = origin.shape[0]
+    nb = -(-r // BLOCK)
+    pad = nb * BLOCK - r
+
+    def padv(x, v):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], v, x.dtype)]) if pad else x
+
+    return (
+        padv(origin, 0.0),
+        padv(direction, 1.0),
+        padv(t_min, 0.0),
+        padv(t_max, -_BIG),
+        nb,
+        r,
+    )
+
+
+def _prepare(scene, origin, direction, t_min, t_max, interpret=False):
+    blo, bhi, woop_pad, s, k = _supernode_tables(
+        scene.bvh_node_min, scene.bvh_node_max, scene.bvh_clusters,
+        scene.tri_woop_t.shape[1],
+    )
+    woop_t = scene.tri_woop_t
+    if woop_pad:
+        woop_t = jnp.concatenate(
+            [woop_t, jnp.zeros((12, woop_pad), woop_t.dtype)], axis=1
+        )
+    origin, direction, t_min, t_max, nb, r = _pad_rays(origin, direction, t_min, t_max)
+    sp = blo.shape[1]
+
+    spec_r3 = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    votes = pl.pallas_call(
+        partial(_votes_kernel, n_chunks=sp // LANE),
+        grid=(nb,),
+        in_specs=[
+            spec_r3,
+            spec_r3,
+            spec_r1,
+            spec_r1,
+            pl.BlockSpec(blo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bhi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, sp), jnp.int32),
+        interpret=interpret,
+    )(origin, direction, t_min[:, None], t_max[:, None], blo, bhi)
+    return woop_t, votes, origin, direction, t_min, t_max, nb, r, s, k, sp
+
+
+def cluster_closest(scene, origin, direction, active=None, interpret=False):
+    """Closest hit via the cluster sweep.  Same contract as
+    bvh.traverse.intersect_closest_bvh: (t, prim, u, v), prim == -1 on miss,
+    indices into the Morton-sorted triangle arrays."""
+    r = origin.shape[0]
+    t_min = jnp.zeros((r,), jnp.float32)
+    t_max = jnp.full((r,), _BIG, jnp.float32)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -_BIG)
+    woop_t, votes, origin, direction, t_min, t_max, nb, r0, s, k, sp = _prepare(
+        scene, origin, direction, t_min, t_max, interpret
+    )
+
+    spec_r3 = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out1 = lambda dt: jax.ShapeDtypeStruct((nb * BLOCK, 1), dt)
+    t, prim, u, v = pl.pallas_call(
+        partial(_sweep_closest_kernel, n_super=s, k_clusters=k),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            spec_r3,
+            spec_r3,
+            spec_r1,
+            spec_r1,
+            pl.BlockSpec(woop_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[spec_r1, spec_r1, spec_r1, spec_r1],
+        out_shape=[out1(jnp.float32), out1(jnp.int32), out1(jnp.float32), out1(jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((BLOCK, 1), jnp.int32),
+            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((BLOCK, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t)
+    flat = lambda x: x.reshape(-1)[:r0]
+    return flat(t), flat(prim), flat(u), flat(v)
+
+
+def cluster_any(scene, origin, direction, t_min, t_max, active=None, interpret=False):
+    """Any-hit (shadow) via the cluster sweep."""
+    r = origin.shape[0]
+    t_min = jnp.broadcast_to(t_min, (r,)).astype(jnp.float32)
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -_BIG)
+    woop_t, votes, origin, direction, t_min, t_max, nb, r0, s, k, sp = _prepare(
+        scene, origin, direction, t_min, t_max, interpret
+    )
+    spec_r3 = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        partial(_sweep_any_kernel, n_super=s, k_clusters=k),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            spec_r3,
+            spec_r3,
+            spec_r1,
+            spec_r1,
+            pl.BlockSpec(woop_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec_r1,
+        out_shape=jax.ShapeDtypeStruct((nb * BLOCK, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((BLOCK, 1), jnp.int32)],
+        interpret=interpret,
+    )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t)
+    return occ.reshape(-1)[:r0] != 0

@@ -546,15 +546,17 @@ def _sample_bsdf_soa(present, p, kind, wo, u_sel, u1, u2):
     wi = (z, z, z)
     f = (z, z, z)
     pdf = jnp.ones_like(z)
-    delta = jnp.zeros_like(z, bool)
+    # delta accumulated as int32 0/1: Mosaic cannot re-narrow select chains
+    # over i1 vectors
+    delta = jnp.zeros_like(z, jnp.int32)
     for t in present:
         wi_t, f_t, pdf_t, d_t = _SAMPLERS[t](p, wo, u_sel, u1, u2)
         sel = kind == t
         wi = _where3(sel, wi_t, wi)
         f = _where3(sel, f_t, f)
         pdf = jnp.where(sel, pdf_t, pdf)
-        delta = jnp.where(sel, d_t, delta)
-    return wi, f, pdf, delta
+        delta = jnp.where(sel & d_t, 1, delta)
+    return wi, f, pdf, delta != 0
 
 
 def _eval_bsdf_soa(present, p, kind, wo, wi):
@@ -563,14 +565,14 @@ def _eval_bsdf_soa(present, p, kind, wo, wi):
     z = jnp.zeros_like(wo[2])
     f = (z, z, z)
     pdf = jnp.ones_like(z)
-    delta = jnp.zeros_like(z, bool)
+    delta = jnp.zeros_like(z, jnp.int32)
     for t in present:
         f_t, pdf_t, d_t = _EVALS[t](p, wo, wi)
         sel = kind == t
         f = _where3(sel, f_t, f)
         pdf = jnp.where(sel, pdf_t, pdf)
-        delta = jnp.where(sel, d_t, delta)
-    return f, pdf, delta
+        delta = jnp.where(sel & d_t, 1, delta)
+    return f, pdf, delta != 0
 
 
 # ---------------------------------------------------------------------------

@@ -154,20 +154,26 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     isector = _resolve_intersector(cfg)
 
     if cfg.use_bvh:
-        from ..bvh.traverse import intersect_closest_bvh
+        if isector == "pallas":
+            # TPU: flattened cluster sweep (dense votes + gated leaf tests)
+            from ..bvh.cluster_sweep import cluster_closest
 
-        t, prim, bu, bv = intersect_closest_bvh(
-            origin,
-            direction,
-            scene.tri_pos,
-            scene.bvh_node_min,
-            scene.bvh_node_max,
-            scene.bvh_clusters,
-            scene.bvh_leaf_size,
-            scene.bvh_levels,
-            active=alive,
-            packet_size=cfg.packet_size,
-        )
+            t, prim, bu, bv = cluster_closest(scene, origin, direction, active=alive)
+        else:
+            from ..bvh.traverse import intersect_closest_bvh
+
+            t, prim, bu, bv = intersect_closest_bvh(
+                origin,
+                direction,
+                scene.tri_pos,
+                scene.bvh_node_min,
+                scene.bvh_node_max,
+                scene.bvh_clusters,
+                scene.bvh_leaf_size,
+                scene.bvh_levels,
+                active=alive,
+                packet_size=cfg.packet_size,
+            )
     elif isector == "pallas":
         from ..ops.pallas_isect import closest_pallas
         from ..ops.woop import _recover_uv
@@ -281,22 +287,34 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     nee_candidate = cfg.nee & hit & (~delta) & (front_ok | transmission)
 
     if cfg.use_bvh:
-        from ..bvh.traverse import intersect_any_bvh
+        if isector == "pallas":
+            from ..bvh.cluster_sweep import cluster_any
 
-        shadowed = intersect_any_bvh(
-            position,
-            ldir,
-            scene.tri_pos,
-            scene.bvh_node_min,
-            scene.bvh_node_max,
-            scene.bvh_clusters,
-            scene.bvh_leaf_size,
-            scene.bvh_levels,
-            t_min=cfg.shadow_epsilon,
-            t_max=ldist - cfg.shadow_epsilon,
-            active=nee_candidate,
-            packet_size=cfg.packet_size,
-        )
+            shadowed = cluster_any(
+                scene,
+                position,
+                ldir,
+                t_min=cfg.shadow_epsilon,
+                t_max=ldist - cfg.shadow_epsilon,
+                active=nee_candidate,
+            )
+        else:
+            from ..bvh.traverse import intersect_any_bvh
+
+            shadowed = intersect_any_bvh(
+                position,
+                ldir,
+                scene.tri_pos,
+                scene.bvh_node_min,
+                scene.bvh_node_max,
+                scene.bvh_clusters,
+                scene.bvh_leaf_size,
+                scene.bvh_levels,
+                t_min=cfg.shadow_epsilon,
+                t_max=ldist - cfg.shadow_epsilon,
+                active=nee_candidate,
+                packet_size=cfg.packet_size,
+            )
     elif isector == "pallas":
         from ..ops.pallas_isect import any_pallas
 

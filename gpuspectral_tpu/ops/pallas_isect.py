@@ -139,7 +139,9 @@ def closest_pallas(origin, direction, woop_t, t_min, t_max, block: int = BLOCK, 
         partial(_closest_kernel, n_tris=n_tris),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # woop, whole table
+            # whole woop table, grid-invariant (constant index_map avoids a
+            # per-grid-step re-DMA of the table)
+            pl.BlockSpec(woop_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             spec_r3,
             spec_r3,
             spec_r1,
@@ -169,7 +171,10 @@ def any_pallas(origin, direction, woop_t, t_min, t_max, block: int = BLOCK, inte
     occ = pl.pallas_call(
         partial(_any_kernel, n_tris=n_tris),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec_r3, spec_r3, spec_r1, spec_r1],
+        in_specs=[
+            pl.BlockSpec(woop_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            spec_r3, spec_r3, spec_r1, spec_r1,
+        ],
         out_specs=spec_out,
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, 1), jnp.bool_),
         interpret=interpret,
