@@ -1062,6 +1062,7 @@ def mega_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     return (
         not cfg.use_bvh
         and not scene.has_textures
+        and not scene.has_envmap  # env eval needs HBM gathers; XLA path
         and cfg.light_sampling == "uniform"
         and scene.num_tris > 0
         and scene.num_tris <= MEGA_MAX_TRIS

@@ -387,6 +387,17 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
         emitted = emitted + self_emit
     emitted = jnp.where(hit[..., None], emitted, 0.0)
 
+    if scene.has_envmap:
+        # environment emitter on miss (capability the reference stubs:
+        # miss.rmiss:15-18 returns nothing).  NEE never samples the envmap,
+        # so BSDF-sampled env hits carry full weight — no MIS discount.
+        from .envmap import eval_envmap
+
+        env_l = eval_envmap(scene.envmap, scene.envmap_rot, direction)
+        emitted = emitted + jnp.where(
+            miss[..., None], state["weight"] * env_l, 0.0
+        )
+
     # path termination tests (rayhit.rchit:770-784)
     invalid_hemi = (m3.dot(wi_world, gn) <= 0.0) & (~transmission)
     self_isect = (m3.dot(gn, -direction) <= 0.0) & (~transmission)

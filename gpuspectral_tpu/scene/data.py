@@ -68,6 +68,11 @@ class SceneData:
     # lights, padded to >=1
     light_pos: jax.Array  # (L,3,3) float32 world-space vertices
     light_emission: jax.Array  # (L,3) float32 radiance
+    # environment emitter (lat-long radiance map, evaluated on ray miss).
+    # The reference stubs this (Scene.h:116-119 Envmap struct, never
+    # evaluated: miss.rmiss returns nothing); here it shades.
+    envmap: jax.Array  # (He,We,3) float32; (1,1,3) zeros when absent
+    envmap_rot: jax.Array  # (3,3) world->envmap rotation
     # power-proportional light selection (optional alternative to the
     # reference's uniform pick): prefix-sum CDF + per-light probability
     light_cdf: jax.Array  # (L,)
@@ -87,6 +92,7 @@ class SceneData:
     # these branches — a scene-specialized integrator compile
     kinds_present: tuple = dataclasses.field(metadata=dict(static=True))
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
+    has_envmap: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
     def padded_tris(self) -> int:
@@ -113,6 +119,10 @@ class SceneBuilder:
     textures: List[np.ndarray] = dataclasses.field(default_factory=list)
     bsdf_tex: List[int] = dataclasses.field(default_factory=list)
     cam_to_world: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+    envmap_image: Optional[np.ndarray] = None  # (He,We,3) linear radiance
+    envmap_to_world: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
     cam_fov: float = np.pi / 2
@@ -166,6 +176,13 @@ class SceneBuilder:
             self.light_emission.append(np.broadcast_to(emission, (n, 3)).copy())
         else:
             self.tri_light_idx.append(np.full((n,), -1, np.int32))
+
+    def set_envmap(self, image: np.ndarray, to_world=None, scale: float = 1.0) -> None:
+        """Environment emitter: lat-long radiance map (use a (1,1,3) image
+        for Mitsuba's `constant` emitter)."""
+        self.envmap_image = np.asarray(image, np.float32) * np.float32(scale)
+        if to_world is not None:
+            self.envmap_to_world = np.asarray(to_world, np.float32)
 
     def set_camera(self, to_world: np.ndarray, fov_radians: float) -> None:
         self.cam_to_world = np.asarray(to_world, np.float32)
@@ -275,6 +292,13 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bsdf_tex=jnp.asarray(bsdf_tex),
         light_pos=jnp.asarray(lpos),
         light_emission=jnp.asarray(lemit),
+        envmap=jnp.asarray(
+            b.envmap_image if b.envmap_image is not None
+            else np.zeros((1, 1, 3), np.float32)
+        ),
+        envmap_rot=jnp.asarray(
+            np.linalg.inv(b.envmap_to_world[:3, :3]).astype(np.float32)
+        ),
         light_cdf=jnp.asarray(cdf),
         light_prob=jnp.asarray(prob.astype(np.float32)),
         bvh_node_min=jnp.asarray(bvh.node_min),
@@ -290,4 +314,5 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh_levels=bvh.n_levels,
         kinds_present=tuple(sorted(set(int(k) for k in kinds))),
         has_textures=bool(b.textures),
+        has_envmap=b.envmap_image is not None,
     )

@@ -317,8 +317,36 @@ def load_mitsuba_scene(
         elif elem.tag == "integrator":
             props = _Props(elem)
             b.max_depth = props.ints.get("max_depth", b.max_depth)
-        # top-level <emitter> (envmap) intentionally ignored — stubbed in the
-        # reference as well (Loader.cpp:338-346).
+        elif elem.tag == "emitter":
+            # scene-level environment emitters.  The reference parses an
+            # Envmap struct but never evaluates it (Scene.h:116-119,
+            # Loader.cpp:338-346); here both `envmap` and `constant` shade.
+            props = _Props(elem)
+            etype = elem.get("type", "")
+            if etype == "constant":
+                rad = props.rgbs.get("radiance", np.asarray([1, 1, 1], np.float32))
+                b.set_envmap(np.broadcast_to(rad, (1, 1, 3)))
+            elif etype == "envmap":
+                fname = os.path.join(parent, props.strings.get("filename", ""))
+                img = None
+                if fname.endswith(".exr"):
+                    from ..io.exr import read_exr
+
+                    img = read_exr(fname)
+                elif fname.endswith(".pfm"):
+                    from ..io.image import read_pfm
+
+                    img = read_pfm(fname)
+                elif os.path.exists(fname):
+                    from .texture import load_bitmap
+
+                    img = load_bitmap(fname, gamma=1.0)
+                if img is not None:
+                    b.set_envmap(
+                        img[..., :3],
+                        to_world=props.transforms.get("to_world"),
+                        scale=props.number("scale", 1.0),
+                    )
 
     if build:
         return b.build(), b
