@@ -33,6 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+# Raised scoped-VMEM budget: the default 16 MB limit is a compiler guardrail,
+# not the physical VMEM size; the sweep wants the woop table + per-lane best
+# planes + hoisted ray broadcasts resident.
+_VMEM_LIMIT = 100 * 1024 * 1024
 BLOCK = 1024  # rays per grid step (sublane-major; intermediates are (B, 128))
 LANE = 128
 MAX_SUPERNODES = 1024
@@ -91,58 +95,72 @@ def _votes_kernel(o_ref, d_ref, tmin_ref, tmax_ref, blo_ref, bhi_ref, votes_ref,
 # ---------------------------------------------------------------------------
 
 
-def _woop_leaf(woop_ref, off, o, d, tmin, tmax):
-    """(B,1) rays vs one 128-triangle (cluster pair) slab at triangle offset
-    `off` -> (t, u, v) as (B,128) with misses at t=+BIG (ops/woop.py test)."""
+def _broadcast_rays(o_ref, d_ref, rays_s):
+    """Hoist the (B,1)->(B,SWEEP) lane broadcasts of the six ray components
+    out of the per-leaf loop into VMEM scratch (done once per block; the
+    sweep then reads full-width planes at vector rate instead of
+    re-broadcasting columns for every leaf)."""
+    shape = (rays_s.shape[1], rays_s.shape[2])
+    for c in range(3):
+        rays_s[c] = jnp.broadcast_to(o_ref[:, c : c + 1], shape)
+        rays_s[3 + c] = jnp.broadcast_to(d_ref[:, c : c + 1], shape)
+
+
+def _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz):
+    """One 128-triangle (cluster pair) Woop sweep at triangle offset `off`.
+    All operands are full-width (B,SWEEP) planes; returns (t, u, v, live)
+    with NO reductions — best-tracking is elementwise in the caller
+    (ops/woop.py unit-triangle test semantics)."""
     sl = pl.ds(pl.multiple_of(off, SWEEP), SWEEP)
     r = [woop_ref[i, sl][None, :] for i in range(12)]
     ax0, ax1, ax2, ay0, ay1, ay2, az0, az1, az2, bx, by, bz = r
-    opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
-    dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
+    opz = ox * az0 + oy * az1 + oz * az2 + bz
+    dpz = dx * az0 + dy * az1 + dz * az2
     live = jnp.abs(dpz) > 1e-12
     t = -opz / jnp.where(live, dpz, 1.0)
-    px = o[0] + t * d[0]
-    py = o[1] + t * d[1]
-    pz = o[2] + t * d[2]
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
     u = px * ax0 + py * ax1 + pz * ax2 + bx
     v = px * ay0 + py * ay1 + pz * ay2 + by
-    hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax)
-    return jnp.where(hit, t, _BIG), u, v
+    ok = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, u, v, ok
 
 
 def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
                           t_out, prim_out, u_out, v_out,
-                          bt_s, bp_s, bu_s, bv_s,
+                          rays_s, bt_s, bp_s, bu_s, bv_s,
                           *, n_super, k_clusters):
-    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
-    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
-    tmin = tmin_ref[:, 0:1]
+    """Per-lane best tracking: every (ray, lane) slot keeps the closest hit
+    seen in that lane position across all swept leaves (elementwise min —
+    no cross-lane work in the loop); ONE argmin per block at the end folds
+    the 128 lane-candidates per ray.  Ties resolve to the lowest prim id
+    (lanes are Morton==prim order), matching the brute-force first-wins."""
+    _broadcast_rays(o_ref, d_ref, rays_s)
+    # per-lane running state: t init at per-ray tmax (inactive rays carry
+    # tmax=-BIG, so they can never record a hit)
     tmax = tmax_ref[:, 0:1]
-    bt_s[:, :] = jnp.full(bt_s.shape, _BIG, jnp.float32)
+    bt_s[:, :] = jnp.broadcast_to(tmax, bt_s.shape)
     bp_s[:, :] = jnp.full(bp_s.shape, -1, jnp.int32)
-    bu_s[:, :] = jnp.zeros(bu_s.shape, jnp.float32)
-    bv_s[:, :] = jnp.zeros(bv_s.shape, jnp.float32)
+    tmin = tmin_ref[:, 0:1]
+    rays_s[6] = jnp.broadcast_to(tmin, (rays_s.shape[1], rays_s.shape[2]))
 
     def supernode(s, carry):
         @pl.when(votes_ref[0, s] > 0)
         def _():
+            ox, oy, oz = rays_s[0], rays_s[1], rays_s[2]
+            dx, dy, dz = rays_s[3], rays_s[4], rays_s[5]
+            tmin_b = rays_s[6]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bt_s.shape[0], SWEEP), 1)
+
             def leaf(k, c2):
                 off = (s * k_clusters) * LEAF + k * SWEEP
-                t, u, v = _woop_leaf(
-                    woop_ref, off, o, d, tmin, jnp.minimum(tmax, bt_s[:, 0:1])
-                )
-                t_new = jnp.min(t, axis=1, keepdims=True)
-                arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-                closer = t_new < bt_s[:, :]
-                # select u, v of the argmin lane
-                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-                first = lane == arg
-                u_sel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
-                v_sel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
-                bp_s[:, :] = jnp.where(closer, off + arg, bp_s[:, :])
-                bu_s[:, :] = jnp.where(closer, u_sel, bu_s[:, :])
-                bv_s[:, :] = jnp.where(closer, v_sel, bv_s[:, :])
-                bt_s[:, :] = jnp.where(closer, t_new, bt_s[:, :])
+                t, u, v, ok = _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz)
+                hit = ok & (t > tmin_b) & (t < bt_s[:, :])
+                bt_s[:, :] = jnp.where(hit, t, bt_s[:, :])
+                bu_s[:, :] = jnp.where(hit, u, bu_s[:, :])
+                bv_s[:, :] = jnp.where(hit, v, bv_s[:, :])
+                bp_s[:, :] = jnp.where(hit, off + lane, bp_s[:, :])
                 return c2
 
             jax.lax.fori_loop(0, k_clusters // 2, leaf, 0)
@@ -150,29 +168,44 @@ def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
 
     jax.lax.fori_loop(0, n_super, supernode, 0)
 
+    # single cross-lane fold per block
     bt = bt_s[:, :]
-    t_out[:, :] = bt
-    prim_out[:, :] = jnp.where(bt < _BIG, bp_s[:, :], -1)
-    u_out[:, :] = jnp.where(bt < _BIG, bu_s[:, :], 0.0)
-    v_out[:, :] = jnp.where(bt < _BIG, bv_s[:, :], 0.0)
+    arg = jnp.argmin(bt, axis=1).astype(jnp.int32)[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, bt.shape, 1)
+    first = lane == arg
+    t_best = jnp.min(bt, axis=1, keepdims=True)
+    found = t_best < tmax_ref[:, 0:1]
+    prim = jnp.sum(jnp.where(first, bp_s[:, :], 0), axis=1, keepdims=True)
+    u_best = jnp.sum(jnp.where(first, bu_s[:, :], 0.0), axis=1, keepdims=True)
+    v_best = jnp.sum(jnp.where(first, bv_s[:, :], 0.0), axis=1, keepdims=True)
+    t_out[:, :] = jnp.where(found, t_best, _BIG)
+    prim_out[:, :] = jnp.where(found, prim, -1)
+    u_out[:, :] = jnp.where(found, u_best, 0.0)
+    v_out[:, :] = jnp.where(found, v_best, 0.0)
 
 
 def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
-                      occ_out, occ_s,
+                      occ_out, rays_s, occ_s,
                       *, n_super, k_clusters):
-    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
-    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
-    tmin = tmin_ref[:, 0:1]
-    tmax = tmax_ref[:, 0:1]
+    """Any-hit: per-lane occlusion mask accumulated elementwise; one
+    cross-lane fold per block at the end."""
+    _broadcast_rays(o_ref, d_ref, rays_s)
+    shape = (occ_s.shape[0], occ_s.shape[1])
+    rays_s[6] = jnp.broadcast_to(tmin_ref[:, 0:1], shape)
+    rays_s[7] = jnp.broadcast_to(tmax_ref[:, 0:1], shape)
     occ_s[:, :] = jnp.zeros(occ_s.shape, jnp.int32)
 
     def supernode(s, carry):
         @pl.when(votes_ref[0, s] > 0)
         def _():
+            ox, oy, oz = rays_s[0], rays_s[1], rays_s[2]
+            dx, dy, dz = rays_s[3], rays_s[4], rays_s[5]
+            tmin_b, tmax_b = rays_s[6], rays_s[7]
+
             def leaf(k, c2):
                 off = (s * k_clusters) * LEAF + k * SWEEP
-                t, _u, _v = _woop_leaf(woop_ref, off, o, d, tmin, tmax)
-                hit = jnp.any(t < _BIG, axis=1, keepdims=True)
+                t, _u, _v, ok = _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz)
+                hit = ok & (t > tmin_b) & (t < tmax_b)
                 occ_s[:, :] = jnp.where(hit, 1, occ_s[:, :])
                 return c2
 
@@ -180,7 +213,7 @@ def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
         return carry
 
     jax.lax.fori_loop(0, n_super, supernode, 0)
-    occ_out[:, :] = occ_s[:, :]
+    occ_out[:, :] = jnp.max(occ_s[:, :], axis=1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -294,11 +327,13 @@ def cluster_closest(scene, origin, direction, active=None, interpret=False):
         out_specs=[spec_r1, spec_r1, spec_r1, spec_r1],
         out_shape=[out1(jnp.float32), out1(jnp.int32), out1(jnp.float32), out1(jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.int32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((7, BLOCK, SWEEP), jnp.float32),  # o,d,tmin broadcasts
+            pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best t
+            pltpu.VMEM((BLOCK, SWEEP), jnp.int32),  # per-lane best prim
+            pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best u
+            pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best v
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t)
     flat = lambda x: x.reshape(-1)[:r0]
@@ -330,7 +365,11 @@ def cluster_any(scene, origin, direction, t_min, t_max, active=None, interpret=F
         ],
         out_specs=spec_r1,
         out_shape=jax.ShapeDtypeStruct((nb * BLOCK, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((BLOCK, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, BLOCK, SWEEP), jnp.float32),  # o,d,tmin,tmax broadcasts
+            pltpu.VMEM((BLOCK, SWEEP), jnp.int32),  # per-lane occlusion
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t)
     return occ.reshape(-1)[:r0] != 0
