@@ -1,0 +1,545 @@
+"""Gated depth-first BVH traversal for BVH-scale scenes (TPU Pallas).
+
+Replaces the two-kernel cluster sweep (bvh/cluster_sweep.py) with ONE kernel
+per query that walks the LBVH's implicit tree depth-first, voting whole ray
+blocks at every node (the RT-core role of VulkanRays.cpp / traceRayEXT,
+reformulated block-wise for the VPU):
+
+  * The tree is flattened host-side into preorder arrays with skip pointers
+    (bounds in SMEM — the only memory the scalar unit can branch on).  Leaf
+    nodes cover 128 Morton-contiguous triangles (a cluster pair, the minimum
+    lane-aligned sweep width).
+  * Per node: a slab test over the block's rays as dense 1-D (B,) vector ops
+    against scalar bounds, one any() reduction, one scalar branch.  Misses
+    jump the whole subtree via the skip pointer.
+  * Per voted leaf: a 128-wide Woop sweep with triangles in lanes and
+    per-lane best tracking (no cross-lane work in the loop; a single argmin
+    folds the lane candidates per block at the end).
+  * Closest queries tighten a per-ray t_max after every leaf (one cross-lane
+    min), so the DFS culls occluded subtrees as the walk proceeds — the
+    dynamic culling the static vote matrix of the cluster sweep could not do.
+    Any-hit queries fold found occlusion into t_max the same way, so finished
+    rays stop voting.
+  * The shading attributes of the winning triangle (normals, geometric
+    normal, area, packed bsdf/light/twofaced meta, uvs) ride along the sweep
+    as per-lane planes selected on `hit` — the whole-table XLA gather
+    (measured ~30 ms per 65536 rays on v5e) disappears.  Differentiable
+    per-triangle quantities (emission, bsdf params) are NOT gathered here;
+    they come from small per-bsdf/per-light tables outside so parameter
+    gradients keep flowing.
+
+Gradients: `closest_diff` wraps the kernel in a custom_vjp whose backward
+re-evaluates the Woop test of each ray's hit triangle differentiably (one
+12-wide row gather) — exact (t, u, v) derivatives w.r.t. ray origin and
+direction, matching the XLA intersector's autodiff bit-for-bit semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_VMEM_LIMIT = 100 * 1024 * 1024
+LANE = 128
+SWEEP = 128  # triangles per leaf sweep (dynamic lane slices must be 128-wide)
+LEAF = 64  # bvh/build.py cluster size; a DFS leaf is a cluster pair
+
+# fused attribute rows (see _attr_table): 9 corner-normal + 3 geometric
+# normal + 1 area + 1 packed meta (+6 uv when textured)
+ATTR_BASE = 14
+ATTR_UV = 6
+_META_TWOFACED = float(1 << 23)
+
+
+# ---------------------------------------------------------------------------
+# host-side: preorder DFS tables over the implicit LBVH
+# ---------------------------------------------------------------------------
+
+
+def build_dfs_tables(node_min, node_max, n_clusters: int, num_tris: int,
+                     leaf_size: int = LEAF):
+    """Flatten the implicit complete binary tree (bvh/build.py) into preorder
+    arrays with skip pointers, pruning padding subtrees (clusters past the
+    real triangle range have inverted bounds and can never hit).
+
+    Returns (bounds (6, N) f32, meta (2, N) i32) with meta[0] = skip index
+    (preorder position after the node's subtree) and meta[1] = first-triangle
+    offset for leaf nodes, -1 for internal nodes.  Leaves cover 2 clusters
+    (= SWEEP triangles)."""
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    real_clusters = max(1, -(-num_tris // leaf_size))
+    out_lo, out_hi, out_skip, out_leaf = [], [], [], []
+
+    if n_clusters == 1:
+        # degenerate tiny scene: one leaf covering the (padded) pair
+        out_lo.append(node_min[0])
+        out_hi.append(node_max[0])
+        out_skip.append(1)
+        out_leaf.append(0)
+    else:
+        def walk(heap: int, lo: int, hi: int) -> int:
+            """Emit node `heap` covering clusters [lo, hi); returns emitted
+            subtree size (0 when fully padding)."""
+            if lo >= real_clusters:
+                return 0
+            k = len(out_lo)
+            out_lo.append(node_min[heap])
+            out_hi.append(node_max[heap])
+            out_skip.append(0)  # patched below
+            if hi - lo == 2:
+                out_leaf.append(lo * leaf_size)
+                size = 1
+            else:
+                out_leaf.append(-1)
+                mid = (lo + hi) // 2
+                size = 1 + walk(2 * heap + 1, lo, mid) + walk(2 * heap + 2, mid, hi)
+            out_skip[k] = k + size
+            return size
+
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 4 * int(np.log2(n_clusters) + 2) + 64))
+        walk(0, 0, n_clusters)
+        sys.setrecursionlimit(old)
+
+    bounds = np.stack([np.stack(out_lo, 1), np.stack(out_hi, 1)]).reshape(6, -1)
+    meta = np.stack([np.asarray(out_skip, np.int32), np.asarray(out_leaf, np.int32)])
+    return bounds.astype(np.float32), meta
+
+
+# ---------------------------------------------------------------------------
+# device-side tables
+# ---------------------------------------------------------------------------
+
+
+def _attr_table(scene, textured: bool):
+    """(A, T) fused-gather attribute rows; pure geometry/topology (no
+    gradient-carrying parameters — those stay in small XLA-side tables)."""
+    t = scene.tri_pos.shape[0]
+    e1 = scene.tri_pos[:, 1] - scene.tri_pos[:, 0]
+    e2 = scene.tri_pos[:, 2] - scene.tri_pos[:, 0]
+    cr = jnp.cross(e1, e2)
+    crl = jnp.sqrt(jnp.maximum(jnp.sum(cr * cr, -1), 1e-24))
+    gn = cr / jnp.maximum(crl, 1e-12)[:, None]
+    area = 0.5 * crl
+    # packed meta: bsdf idx (<4096) + 4096*(light idx+1) (<2^23) + 2^23*twofaced
+    meta = (
+        scene.tri_bsdf.astype(jnp.float32)
+        + 4096.0 * (scene.tri_light_idx.astype(jnp.float32) + 1.0)
+        + _META_TWOFACED * scene.tri_twofaced.astype(jnp.float32)
+    )
+    cols = [scene.tri_nrm.reshape(t, 9), gn, area[:, None], meta[:, None]]
+    if textured:
+        cols.append(scene.tri_uv.reshape(t, 6))
+    return jax.lax.stop_gradient(jnp.concatenate(cols, axis=1).T)
+
+
+def unpack_meta(meta_col):
+    """Decode the packed meta row -> (bsdf_idx i32, light_idx i32, twofaced)."""
+    m = jnp.round(meta_col)
+    twofaced = m >= _META_TWOFACED
+    m = m - jnp.where(twofaced, _META_TWOFACED, 0.0)
+    light = jnp.round(m / 4096.0 - 0.5).astype(jnp.int32)  # floor for positives
+    bsdf = (m - light.astype(jnp.float32) * 4096.0).astype(jnp.int32)
+    return bsdf, light - 1, twofaced
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz):
+    """One 128-triangle Woop sweep at offset `off`; full-width (B,128)
+    operands, no reductions (ops/woop.py unit-triangle test)."""
+    sl = pl.ds(pl.multiple_of(off, SWEEP), SWEEP)
+    r = [woop_ref[i, sl][None, :] for i in range(12)]
+    ax0, ax1, ax2, ay0, ay1, ay2, az0, az1, az2, bx, by, bz = r
+    opz = ox * az0 + oy * az1 + oz * az2 + bz
+    dpz = dx * az0 + dy * az1 + dz * az2
+    live = jnp.abs(dpz) > 1e-12
+    t = -opz / jnp.where(live, dpz, 1.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = px * ax0 + py * ax1 + pz * ax2 + bx
+    v = px * ay0 + py * ay1 + pz * ay2 + by
+    ok = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, u, v, ok
+
+
+def _inv_dir1(dx):
+    mag = jnp.maximum(jnp.abs(dx), 1e-12)
+    return 1.0 / jnp.where(dx < 0, -mag, mag)
+
+
+def _make_closest_kernel(n_nodes: int, n_attr: int, block: int):
+    def kernel(bounds_s, meta_s, o_ref, d_ref, tmin_ref, tmax_ref,
+               woop_ref, attr_ref,
+               t_out, prim_out, u_out, v_out, attr_out,
+               rays_s, bt_s, bp_s, bu_s, bv_s, attrp_s):
+        # 1-D dense ray vectors for the node slab tests
+        o1 = (o_ref[:, 0], o_ref[:, 1], o_ref[:, 2])
+        i1 = (_inv_dir1(d_ref[:, 0]), _inv_dir1(d_ref[:, 1]), _inv_dir1(d_ref[:, 2]))
+        tmin1 = tmin_ref[:, 0]
+        tmax0 = tmax_ref[:, 0]
+        # (B,128) broadcast planes for the leaf sweeps
+        shape = (block, SWEEP)
+        for c in range(3):
+            rays_s[c] = jnp.broadcast_to(o_ref[:, c : c + 1], shape)
+            rays_s[3 + c] = jnp.broadcast_to(d_ref[:, c : c + 1], shape)
+        rays_s[6] = jnp.broadcast_to(tmin_ref[:, 0:1], shape)
+        bt_s[:, :] = jnp.broadcast_to(tmax_ref[:, 0:1], bt_s.shape)
+        bp_s[:, :] = jnp.full(bp_s.shape, -1, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        def sweep_leaf(off):
+            ox, oy, oz = rays_s[0], rays_s[1], rays_s[2]
+            dx, dy, dz = rays_s[3], rays_s[4], rays_s[5]
+            t, u, v, ok = _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz)
+            hit = ok & (t > rays_s[6]) & (t < bt_s[:, :])
+            bt_s[:, :] = jnp.where(hit, t, bt_s[:, :])
+            bu_s[:, :] = jnp.where(hit, u, bu_s[:, :])
+            bv_s[:, :] = jnp.where(hit, v, bv_s[:, :])
+            bp_s[:, :] = jnp.where(hit, off + lane, bp_s[:, :])
+            for a in range(n_attr):
+                row = attr_ref[a, pl.ds(pl.multiple_of(off, SWEEP), SWEEP)][None, :]
+                attrp_s[a] = jnp.where(hit, row, attrp_s[a])
+
+        def cond(carry):
+            ptr, _ = carry
+            return ptr < n_nodes
+
+        def body(carry):
+            ptr, tmax1 = carry
+            lx, ly, lz = bounds_s[0, ptr], bounds_s[1, ptr], bounds_s[2, ptr]
+            hx, hy, hz = bounds_s[3, ptr], bounds_s[4, ptr], bounds_s[5, ptr]
+            t0x = (lx - o1[0]) * i1[0]
+            t1x = (hx - o1[0]) * i1[0]
+            t0y = (ly - o1[1]) * i1[1]
+            t1y = (hy - o1[1]) * i1[1]
+            t0z = (lz - o1[2]) * i1[2]
+            t1z = (hz - o1[2]) * i1[2]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), tmax1),
+            )
+            voted = jnp.any(tf >= tn)
+            loff = meta_s[1, ptr]
+            is_leaf = loff >= 0
+
+            @pl.when(voted & is_leaf)
+            def _():
+                sweep_leaf(loff)
+
+            # tighten the per-ray horizon after a leaf (occlusion culling)
+            tmax1 = jax.lax.cond(
+                voted & is_leaf,
+                lambda tm: jnp.minimum(tm, jnp.min(bt_s[:, :], axis=1)),
+                lambda tm: tm,
+                tmax1,
+            )
+            ptr = jnp.where(voted, ptr + 1, meta_s[0, ptr])
+            return ptr, tmax1
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), tmax0))
+
+        bt = bt_s[:, :]
+        arg = jnp.argmin(bt, axis=1).astype(jnp.int32)[:, None]
+        first = lane == arg
+        t_best = jnp.min(bt, axis=1, keepdims=True)
+        found = t_best < tmax_ref[:, 0:1]
+        prim = jnp.sum(jnp.where(first, bp_s[:, :], 0), axis=1, keepdims=True)
+        u_best = jnp.sum(jnp.where(first, bu_s[:, :], 0.0), axis=1, keepdims=True)
+        v_best = jnp.sum(jnp.where(first, bv_s[:, :], 0.0), axis=1, keepdims=True)
+        t_out[:, :] = jnp.where(found, t_best, _BIG)
+        prim_out[:, :] = jnp.where(found, prim, -1)
+        u_out[:, :] = jnp.where(found, u_best, 0.0)
+        v_out[:, :] = jnp.where(found, v_best, 0.0)
+        for a in range(n_attr):
+            val = jnp.sum(jnp.where(first, attrp_s[a], 0.0), axis=1, keepdims=True)
+            attr_out[:, a : a + 1] = jnp.where(found, val, 0.0)
+
+    return kernel
+
+
+def _make_any_kernel(n_nodes: int, block: int):
+    def kernel(bounds_s, meta_s, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
+               occ_out, rays_s, occ_s):
+        o1 = (o_ref[:, 0], o_ref[:, 1], o_ref[:, 2])
+        i1 = (_inv_dir1(d_ref[:, 0]), _inv_dir1(d_ref[:, 1]), _inv_dir1(d_ref[:, 2]))
+        tmin1 = tmin_ref[:, 0]
+        tmax0 = tmax_ref[:, 0]
+        shape = (block, SWEEP)
+        for c in range(3):
+            rays_s[c] = jnp.broadcast_to(o_ref[:, c : c + 1], shape)
+            rays_s[3 + c] = jnp.broadcast_to(d_ref[:, c : c + 1], shape)
+        rays_s[6] = jnp.broadcast_to(tmin_ref[:, 0:1], shape)
+        rays_s[7] = jnp.broadcast_to(tmax_ref[:, 0:1], shape)
+        occ_s[:, :] = jnp.zeros(occ_s.shape, jnp.int32)
+
+        def cond(carry):
+            ptr, _ = carry
+            return ptr < n_nodes
+
+        def body(carry):
+            ptr, tmax1 = carry
+            lx, ly, lz = bounds_s[0, ptr], bounds_s[1, ptr], bounds_s[2, ptr]
+            hx, hy, hz = bounds_s[3, ptr], bounds_s[4, ptr], bounds_s[5, ptr]
+            t0x = (lx - o1[0]) * i1[0]
+            t1x = (hx - o1[0]) * i1[0]
+            t0y = (ly - o1[1]) * i1[1]
+            t1y = (hy - o1[1]) * i1[1]
+            t0z = (lz - o1[2]) * i1[2]
+            t1z = (hz - o1[2]) * i1[2]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), tmax1),
+            )
+            voted = jnp.any(tf >= tn)
+            loff = meta_s[1, ptr]
+            is_leaf = loff >= 0
+
+            @pl.when(voted & is_leaf)
+            def _():
+                ox, oy, oz = rays_s[0], rays_s[1], rays_s[2]
+                dx, dy, dz = rays_s[3], rays_s[4], rays_s[5]
+                t, _u, _v, ok = _woop_sweep(woop_ref, loff, ox, oy, oz, dx, dy, dz)
+                hit = ok & (t > rays_s[6]) & (t < rays_s[7])
+                occ_s[:, :] = jnp.where(hit, 1, occ_s[:, :])
+
+            # occluded rays stop voting: collapse their horizon
+            tmax1 = jax.lax.cond(
+                voted & is_leaf,
+                lambda tm: jnp.where(
+                    jnp.max(occ_s[:, :], axis=1) > 0, jnp.float32(-_BIG), tm
+                ),
+                lambda tm: tm,
+                tmax1,
+            )
+            ptr = jnp.where(voted, ptr + 1, meta_s[0, ptr])
+            return ptr, tmax1
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), tmax0))
+        occ_out[:, :] = jnp.max(occ_s[:, :], axis=1, keepdims=True)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+def _block_size(scene, n_attr: int) -> int:
+    """Pick the ray-block size so woop + attr tables + per-lane planes stay
+    inside VMEM (v5e ~16 MB usable)."""
+    t = scene.tri_woop_t.shape[1]
+    tables = (12 + n_attr) * t * 4
+    for block in (1024, 512, 256):
+        planes = (8 + 4 + n_attr) * block * SWEEP * 4
+        if tables + planes <= 13 * 1024 * 1024:
+            return block
+    return 128
+
+
+def fused_attr_rows(scene) -> int:
+    """How many attribute rows the closest kernel can gather in-kernel
+    (0 = tables too large for VMEM; caller falls back to an XLA gather)."""
+    n_attr = ATTR_BASE + (ATTR_UV if scene.has_textures else 0)
+    t = scene.tri_woop_t.shape[1]
+    if (12 + n_attr) * t * 4 + (12 + n_attr) * 256 * SWEEP * 4 > 13 * 1024 * 1024:
+        return 0
+    return n_attr
+
+
+def _pad_rays(origin, direction, t_min, t_max, block):
+    r = origin.shape[0]
+    nb = -(-r // block)
+    pad = nb * block - r
+
+    def padv(x, v):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], v, x.dtype)]) if pad else x
+
+    return (padv(origin, 0.0), padv(direction, 1.0), padv(t_min, 0.0),
+            padv(t_max, -_BIG), nb, r)
+
+
+def dfs_closest(scene, origin, direction, active=None, t_max=None,
+                interpret=None):
+    """Closest hit via gated DFS.  Returns (t, prim, u, v, attrs) where attrs
+    is (R, A) fused shading attributes (A = fused_attr_rows(scene); None when
+    0).  prim == -1 on miss; indices into the Morton-sorted triangle arrays."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r = origin.shape[0]
+    t_min = jnp.zeros((r,), jnp.float32)
+    if t_max is None:
+        t_max = jnp.full((r,), _BIG, jnp.float32)
+        if active is not None:
+            t_max = jnp.where(active, t_max, -_BIG)
+
+    n_attr = fused_attr_rows(scene)
+    block = _block_size(scene, n_attr)
+    origin, direction, t_min, t_max, nb, r0 = _pad_rays(
+        origin, direction, t_min, t_max, block)
+    bounds, meta = scene.bvh_dfs_bounds, scene.bvh_dfs_meta
+    n_nodes = bounds.shape[1]
+    woop_t = scene.tri_woop_t
+    attr = _attr_table(scene, scene.has_textures) if n_attr else jnp.zeros(
+        (1, woop_t.shape[1]), jnp.float32)
+    a_pad = max(8, -(-n_attr // 8) * 8) if n_attr else 8
+
+    spec_r3 = pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda x: pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out1 = lambda dt: jax.ShapeDtypeStruct((nb * block, 1), dt)
+
+    t, prim, u, v, attrs = pl.pallas_call(
+        _make_closest_kernel(n_nodes, n_attr, block),
+        grid=(nb,),
+        in_specs=[smem(bounds), smem(meta), spec_r3, spec_r3, spec_r1, spec_r1,
+                  full(woop_t), full(attr)],
+        out_specs=[spec_r1, spec_r1, spec_r1, spec_r1,
+                   pl.BlockSpec((block, a_pad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[out1(jnp.float32), out1(jnp.int32), out1(jnp.float32),
+                   out1(jnp.float32),
+                   jax.ShapeDtypeStruct((nb * block, a_pad), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((7, block, SWEEP), jnp.float32),
+            pltpu.VMEM((block, SWEEP), jnp.float32),
+            pltpu.VMEM((block, SWEEP), jnp.int32),
+            pltpu.VMEM((block, SWEEP), jnp.float32),
+            pltpu.VMEM((block, SWEEP), jnp.float32),
+            pltpu.VMEM((max(1, n_attr), block, SWEEP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(bounds, meta, origin, direction, t_min[:, None], t_max[:, None], woop_t, attr)
+    flat = lambda x: x.reshape(-1)[:r0]
+    attrs = attrs[:r0, :n_attr] if n_attr else None
+    return flat(t), flat(prim), flat(u), flat(v), attrs
+
+
+def dfs_any(scene, origin, direction, t_min, t_max, active=None, interpret=None):
+    """Any-hit (shadow) via gated DFS with per-leaf occlusion pruning."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r = origin.shape[0]
+    t_min = jnp.broadcast_to(t_min, (r,)).astype(jnp.float32)
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -_BIG)
+    block = _block_size(scene, 0)
+    origin, direction, t_min, t_max, nb, r0 = _pad_rays(
+        origin, direction, t_min, t_max, block)
+    bounds, meta = scene.bvh_dfs_bounds, scene.bvh_dfs_meta
+    woop_t = scene.tri_woop_t
+
+    spec_r3 = pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_r1 = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda x: pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    occ = pl.pallas_call(
+        _make_any_kernel(bounds.shape[1], block),
+        grid=(nb,),
+        in_specs=[smem(bounds), smem(meta), spec_r3, spec_r3, spec_r1, spec_r1,
+                  full(woop_t)],
+        out_specs=spec_r1,
+        out_shape=jax.ShapeDtypeStruct((nb * block, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, block, SWEEP), jnp.float32),
+            pltpu.VMEM((block, SWEEP), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(bounds, meta, origin, direction, t_min[:, None], t_max[:, None], woop_t)
+    return occ.reshape(-1)[:r0] != 0
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: exact (t, u, v) derivatives w.r.t. (o, d) via a
+# per-hit-triangle Woop re-evaluation (backward only; forward is the kernel)
+# ---------------------------------------------------------------------------
+
+
+def _woop_eval_rows(rows, o, d):
+    """Differentiable Woop test of each ray against its own triangle row
+    (rows (R,12)); same math as the kernel, scalarized per ray."""
+    ax = rows[:, 0:3]
+    ay = rows[:, 3:6]
+    az = rows[:, 6:9]
+    bx, by, bz = rows[:, 9], rows[:, 10], rows[:, 11]
+    opz = jnp.sum(o * az, -1) + bz
+    dpz = jnp.sum(d * az, -1)
+    live = jnp.abs(dpz) > 1e-12
+    t = -opz / jnp.where(live, dpz, 1.0)
+    p = o + t[:, None] * d
+    u = jnp.sum(p * ax, -1) + bx
+    v = jnp.sum(p * ay, -1) + by
+    return t, u, v
+
+
+def closest_diff(scene, origin, direction, active=None):
+    """dfs_closest with exact (t, u, v) gradients w.r.t. (origin, direction),
+    computed by re-evaluating each ray's hit triangle's Woop test
+    differentiably in the backward pass (one (R,12) row gather, backward
+    only).  Scene geometry is closed over non-differentiably (static scenes,
+    as the reference's BLAS cache assumes); the fused attrs output is pure
+    geometry selected by the discrete prim id — zero gradient a.e."""
+    r = origin.shape[0]
+    t_max = jnp.full((r,), _BIG, jnp.float32)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -_BIG)
+    woop_rows_table = jax.lax.stop_gradient(scene.tri_woop)
+
+    @jax.custom_vjp
+    def f(o, d, tm):
+        return dfs_closest(scene, o, d, t_max=tm)
+
+    def f_fwd(o, d, tm):
+        out = dfs_closest(scene, o, d, t_max=tm)
+        return out, (o, d, out[1])
+
+    def f_bwd(res, ct):
+        o, d, prim = res
+        ct_t, _ct_prim, ct_u, ct_v = ct[0], ct[1], ct[2], ct[3]
+        hit = prim >= 0
+        rows = woop_rows_table[jnp.maximum(prim, 0)]
+        _, vjp = jax.vjp(lambda oo, dd: _woop_eval_rows(rows, oo, dd), o, d)
+        zero = jnp.zeros_like(ct_t)
+        m = lambda c: jnp.where(hit, c, zero)
+        do, dd = vjp((m(ct_t), m(ct_u), m(ct_v)))
+        return do, dd, jnp.zeros_like(t_max)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(origin, direction, t_max)
+
+
+def any_nodiff(scene, origin, direction, t_min, t_max, active=None):
+    """dfs_any wrapped for AD: visibility is a step function (zero gradient
+    a.e., exactly what the XLA comparison chain also yields)."""
+    o = jax.lax.stop_gradient(origin)
+    d = jax.lax.stop_gradient(direction)
+    tmin = jax.lax.stop_gradient(jnp.asarray(t_min, jnp.float32))
+    tmax = jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32))
+    return dfs_any(scene, o, d, tmin, tmax, active=active)

@@ -1,4 +1,4 @@
-"""Environment emitter evaluation (ray-miss radiance).
+"""Environment emitter: evaluation, importance sampling, and pdf.
 
 The reference declares an `Envmap` struct but never evaluates it — its miss
 shader returns nothing (renderer/Scene.h:116-119, assets/shaders/miss.rmiss:15-18,
@@ -66,3 +66,50 @@ def eval_envmap(envmap, rot, direction):
     top = c00 * (1.0 - tx) + c01 * tx
     bot = c10 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty
+
+
+def sample_envmap(envmap, rot, cdf, pdf_map, u1, u2):
+    """Importance-sample a direction from the luminance x sin(theta) texel
+    distribution (tables built in scene/data.py:build_scene).
+
+    u1 picks the texel by inverting the flattened CDF; the CDF residual
+    (rescaled, independent uniform) jitters v inside the texel and u2
+    jitters u — the pdf is piecewise constant per texel, so uniform
+    in-texel jitter keeps the estimator exact.
+
+    Returns (direction (R,3) world-space unit vectors, pdf (R,) per
+    steradian)."""
+    h, w = pdf_map.shape[0], pdf_map.shape[1]
+    n = h * w
+    idx = jnp.clip(jnp.searchsorted(cdf, u1, side="left"), 0, n - 1).astype(jnp.int32)
+    hi = cdf[idx]
+    lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    jv = jnp.clip((u1 - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    y = idx // w
+    x = idx - y * w
+    u = (x.astype(jnp.float32) + u2) / w
+    v = (y.astype(jnp.float32) + jv) / h
+    # inverse of eval_envmap's mapping: u = (1 + atan2(ex,-ez)/pi)/2, v = acos(ey)/pi
+    phi = (2.0 * u - 1.0) * jnp.pi
+    theta = v * jnp.pi
+    st = jnp.sin(theta)
+    e = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1)
+    # env->world: rot is world->env, orthonormal, so inverse = transpose
+    d = e @ rot  # == (rot.T @ e.T).T
+    pdf = pdf_map.reshape(-1)[idx]
+    return d, pdf
+
+
+def envmap_pdf(pdf_map, rot, direction):
+    """Solid-angle pdf that sample_envmap would assign to `direction`
+    (nearest texel — the distribution is piecewise constant)."""
+    h, w = pdf_map.shape[0], pdf_map.shape[1]
+    dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
+    ex = rot[0, 0] * dx + rot[0, 1] * dy + rot[0, 2] * dz
+    ey = rot[1, 0] * dx + rot[1, 1] * dy + rot[1, 2] * dz
+    ez = rot[2, 0] * dx + rot[2, 1] * dy + rot[2, 2] * dz
+    u = (1.0 + jnp.arctan2(ex, -ez) / jnp.pi) * 0.5
+    v = jnp.arccos(jnp.clip(ey, -1.0, 1.0)) / jnp.pi
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return pdf_map.reshape(-1)[y * w + x]

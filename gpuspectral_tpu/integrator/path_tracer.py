@@ -32,6 +32,7 @@ fixed channel layout per bounce:
   ch 4..5  light triangle (u1, u2)
   ch 6     russian roulette
   ch 7..8  subpixel jitter (when enabled)
+  ch 9..11 environment NEE (u1, u2, strategy select; envmap scenes only)
 """
 
 from __future__ import annotations
@@ -60,6 +61,9 @@ CH_LIGHT_U2 = 5
 CH_RR = 6
 CH_JITTER_X = 7
 CH_JITTER_Y = 8
+CH_ENV_U1 = 9
+CH_ENV_U2 = 10
+CH_ENV_SELECT = 11
 
 
 _ONEHOT_MAX = 8192  # above this, one-hot matmul gathers cost more than native
@@ -122,13 +126,18 @@ def _gather_tri(scene: SceneData, prim, tri_table=None):
 
 
 def _texture_modulation(scene: SceneData, rows, bu, bv):
-    """Per-hit texture color for textured bsdf rows (1.0 elsewhere).
-    Nearest-neighbor lookup in the fixed-resolution atlas; wrap addressing."""
+    """Per-hit texture color for textured bsdf rows (1.0 elsewhere)."""
     r = rows.shape[0]
     uv_c = rows[:, 36:42].reshape(r, 3, 2)
+    tex_id = jnp.round(rows[:, 42]).astype(jnp.int32)
+    return _texture_lookup(scene, uv_c, tex_id, bu, bv)
+
+
+def _texture_lookup(scene: SceneData, uv_c, tex_id, bu, bv):
+    """Nearest-neighbor lookup in the fixed-resolution atlas; wrap
+    addressing.  uv_c (R,3,2) per-corner uvs, tex_id (R,) (-1 = untextured)."""
     bw = 1.0 - bu - bv
     uv = bw[:, None] * uv_c[:, 0] + bu[:, None] * uv_c[:, 1] + bv[:, None] * uv_c[:, 2]
-    tex_id = jnp.round(rows[:, 42]).astype(jnp.int32)
     res = scene.textures.shape[1]
     u = uv[:, 0] - jnp.floor(uv[:, 0])
     v = uv[:, 1] - jnp.floor(uv[:, 1])
@@ -146,6 +155,50 @@ def _resolve_intersector(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "woop"
 
 
+def _brute_closest_diff(scene: SceneData, origin, direction, t_max0):
+    """Brute-force Pallas closest hit with exact (t, u, v) gradients w.r.t.
+    (origin, direction): forward is the fused kernel, backward re-evaluates
+    each ray's hit triangle's Woop test differentiably (bvh/dfs_sweep.py
+    closest_diff, same scheme).  Without this, reverse-mode AD cannot
+    linearize through pallas_call (no transpose rule) — TPU gradients would
+    only work on the slow XLA intersectors."""
+    from ..bvh.dfs_sweep import _woop_eval_rows
+    from ..ops.pallas_isect import closest_pallas
+    from ..ops.woop import _recover_uv
+
+    woop_rows_table = jax.lax.stop_gradient(scene.tri_woop)
+    woop_t = jax.lax.stop_gradient(scene.tri_woop_t)
+    r = origin.shape[0]
+
+    @jax.custom_vjp
+    def f(o, d, tm):
+        t, prim = closest_pallas(o, d, woop_t, jnp.zeros((r,), jnp.float32), tm)
+        bu, bv = _recover_uv(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            woop_rows_table, prim, jnp.where(prim >= 0, t, 0.0)
+        )
+        bu = jnp.where(prim >= 0, bu, 0.0)
+        bv = jnp.where(prim >= 0, bv, 0.0)
+        return t, prim, bu, bv
+
+    def f_fwd(o, d, tm):
+        out = f(o, d, tm)
+        return out, (o, d, out[1])
+
+    def f_bwd(res, ct):
+        o, d, prim = res
+        hit = prim >= 0
+        rows = woop_rows_table[jnp.maximum(prim, 0)]
+        _, vjp = jax.vjp(lambda oo, dd: _woop_eval_rows(rows, oo, dd), o, d)
+        zero = jnp.zeros_like(ct[0])
+        m = lambda c: jnp.where(hit, c, zero)
+        do, dd = vjp((m(ct[0]), m(ct[2]), m(ct[3])))
+        return do, dd, jnp.zeros_like(zero)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(origin, direction, t_max0)
+
+
 def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     """One wavefront bounce. `state` is a dict of per-ray arrays."""
     origin, direction = state["origin"], state["direction"]
@@ -153,12 +206,15 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     alive = ~state["done"]
     isector = _resolve_intersector(cfg)
 
+    attrs = None
     if cfg.use_bvh:
         if isector == "pallas":
-            # TPU: flattened cluster sweep (dense votes + gated leaf tests)
-            from ..bvh.cluster_sweep import cluster_closest
+            # TPU: gated DFS traversal with fused attribute gather
+            from ..bvh.dfs_sweep import closest_diff
 
-            t, prim, bu, bv = cluster_closest(scene, origin, direction, active=alive)
+            t, prim, bu, bv, attrs = closest_diff(
+                scene, origin, direction, active=alive
+            )
         else:
             from ..bvh.traverse import intersect_closest_bvh
 
@@ -175,19 +231,9 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
                 packet_size=cfg.packet_size,
             )
     elif isector == "pallas":
-        from ..ops.pallas_isect import closest_pallas
-        from ..ops.woop import _recover_uv
-
         r = origin.shape[0]
         t_max0 = jnp.where(alive, jnp.float32(1e30), jnp.float32(-1e30))
-        t, prim = closest_pallas(
-            origin, direction, scene.tri_woop_t, jnp.zeros((r,), jnp.float32), t_max0
-        )
-        bu, bv = _recover_uv(
-            origin, direction, scene.tri_woop, prim, jnp.where(prim >= 0, t, 0.0)
-        )
-        bu = jnp.where(prim >= 0, bu, 0.0)
-        bv = jnp.where(prim >= 0, bv, 0.0)
+        t, prim, bu, bv = _brute_closest_diff(scene, origin, direction, t_max0)
     else:
         t, prim, bu, bv = isect.intersect_closest(
             origin,
@@ -200,12 +246,41 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     hit = (prim >= 0) & alive
     miss = (~(prim >= 0)) & alive
 
-    pos_c, nrm_c, bparams, bkind, emission, twofaced, tri_lidx, _rows = _gather_tri(scene, prim)
-    if scene.has_textures:
-        # modulate the diffuse/reflectance color by the bound texture —
-        # unlike the reference, whose texture plumbing is stubbed
-        mod = _texture_modulation(scene, _rows, bu, bv)
-        bparams = bparams.at[:, 0:3].multiply(mod)
+    if attrs is not None:
+        # fused in-kernel gather: geometry/topology rows from the traversal
+        # (bvh/dfs_sweep.py _attr_table); differentiable parameters still
+        # come from the small per-bsdf / per-light tables so gradients flow
+        from ..bvh.dfs_sweep import unpack_meta
+
+        r = attrs.shape[0]
+        nrm_c = attrs[:, 0:9].reshape(r, 3, 3)
+        gn_fused = attrs[:, 9:12]
+        area_fused = attrs[:, 12]
+        bsdf_idx, tri_lidx, twofaced = unpack_meta(attrs[:, 13])
+        bparams = _take_rows(scene.bsdf_params, bsdf_idx)
+        bkind = jnp.round(
+            _take_rows(scene.bsdf_kind[:, None].astype(jnp.float32), bsdf_idx)[:, 0]
+        ).astype(jnp.int32)
+        emission = jnp.where(
+            (tri_lidx >= 0)[:, None],
+            _take_rows(scene.light_emission, jnp.maximum(tri_lidx, 0)),
+            0.0,
+        )
+        pos_c = None
+        if scene.has_textures:
+            uv_c = attrs[:, 14:20].reshape(r, 3, 2)
+            tex_id = jnp.round(
+                _take_rows(scene.bsdf_tex[:, None].astype(jnp.float32), bsdf_idx)[:, 0]
+            ).astype(jnp.int32)
+            mod = _texture_lookup(scene, uv_c, tex_id, bu, bv)
+            bparams = bparams.at[:, 0:3].multiply(mod)
+    else:
+        pos_c, nrm_c, bparams, bkind, emission, twofaced, tri_lidx, _rows = _gather_tri(scene, prim)
+        if scene.has_textures:
+            # modulate the diffuse/reflectance color by the bound texture —
+            # unlike the reference, whose texture plumbing is stubbed
+            mod = _texture_modulation(scene, _rows, bu, bv)
+            bparams = bparams.at[:, 0:3].multiply(mod)
 
     # hit position along the ray (rayhit.rchit:692).  Miss lanes carry
     # t = 1e30; clamp them to keep downstream math (and its *gradients*)
@@ -218,7 +293,10 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     sn = m3.normalize(
         bw[..., None] * nrm_c[:, 0] + bu[..., None] * nrm_c[:, 1] + bv[..., None] * nrm_c[:, 2]
     )
-    gn = m3.normalize(jnp.cross(pos_c[:, 1] - pos_c[:, 0], pos_c[:, 2] - pos_c[:, 0]))
+    if attrs is not None:
+        gn = gn_fused
+    else:
+        gn = m3.normalize(jnp.cross(pos_c[:, 1] - pos_c[:, 0], pos_c[:, 2] - pos_c[:, 0]))
     # orient the interpolated shading normal into the geometric hemisphere:
     # negative-determinant object transforms flip inverse-transpose normals
     # relative to the transformed winding, which would strand wi sampling on
@@ -276,6 +354,37 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     ldelta = light_pos - position
     ldist = m3.length(ldelta)
     ldir = ldelta / jnp.maximum(ldist, 1e-12)[..., None]
+
+    # NEE over the environment emitter (capability beyond the reference,
+    # which stubs envmaps entirely): with probability p_env the NEE strategy
+    # importance-samples the luminance-weighted lat-long map instead of an
+    # area light; pdfs carry the selection probability so the mixture MIS
+    # stays exact.  A direction that misses all geometry has zero area-light
+    # pdf, so BSDF-sampled env hits are discounted by p_env * envmap_pdf only.
+    p_env = 0.0
+    if scene.has_envmap and cfg.nee:
+        from .envmap import sample_envmap
+
+        p_env = 0.5 if scene.has_area_lights else 1.0
+        eu1 = rng.uniform(seed, bounce, CH_ENV_U1)
+        eu2 = rng.uniform(seed, bounce, CH_ENV_U2)
+        if scene.has_area_lights:
+            env_pick = rng.uniform(seed, bounce, CH_ENV_SELECT) < p_env
+        else:
+            env_pick = jnp.ones_like(hit)
+        env_dir, env_pdf = sample_envmap(
+            scene.envmap, scene.envmap_rot, scene.envmap_cdf, scene.envmap_pdf,
+            eu1, eu2,
+        )
+        from .envmap import eval_envmap as _eval_env
+
+        env_l = _eval_env(scene.envmap, scene.envmap_rot, env_dir)
+        ldir = jnp.where(env_pick[..., None], env_dir, ldir)
+        ldist = jnp.where(env_pick, jnp.float32(1e30), ldist)
+        light_emitted = jnp.where(env_pick[..., None], env_l, light_emitted)
+        light_pdf = jnp.where(
+            env_pick, env_pdf * p_env, light_pdf * (1.0 - p_env)
+        )
     w_light_local = m3.onb_world_to_local(tg, bn, nn, ldir)
     nol = jnp.abs(m3.dot(sn, ldir))
     f_light, _light_eval_pdf, _ = eval_bsdf(
@@ -288,9 +397,9 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
 
     if cfg.use_bvh:
         if isector == "pallas":
-            from ..bvh.cluster_sweep import cluster_any
+            from ..bvh.dfs_sweep import any_nodiff
 
-            shadowed = cluster_any(
+            shadowed = any_nodiff(
                 scene,
                 position,
                 ldir,
@@ -320,12 +429,14 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
 
         r = position.shape[0]
         sh_tmax = jnp.where(nee_candidate, ldist - cfg.shadow_epsilon, -1.0)
+        # visibility is a step function (zero gradient a.e.); stop_gradient
+        # keeps reverse-mode AD from trying to linearize the pallas_call
         shadowed = any_pallas(
-            position,
-            ldir,
-            scene.tri_woop_t,
+            jax.lax.stop_gradient(position),
+            jax.lax.stop_gradient(ldir),
+            jax.lax.stop_gradient(scene.tri_woop_t),
             jnp.full((r,), cfg.shadow_epsilon, jnp.float32),
-            sh_tmax,
+            jax.lax.stop_gradient(sh_tmax),
         )
     else:
         shadowed = isect.intersect_any(
@@ -341,7 +452,16 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
 
     emitted = jnp.zeros_like(origin)
-    w_mis = smp.power_heuristic(light_pdf, pdf)
+    # MIS complement pdf: the reference reuses the *sampled* BSDF pdf here
+    # (rayhit.rchit:750-754 quirk, kept for area lights so goldens match);
+    # the env strategy (no reference counterpart) uses the exact BSDF pdf at
+    # the NEE direction — with the sampled pdf the weights don't sum to 1
+    # over strategies and a constant-env furnace reads ~14% hot.
+    if scene.has_envmap and cfg.nee:
+        mis_bsdf_pdf = jnp.where(env_pick, _light_eval_pdf, pdf)
+    else:
+        mis_bsdf_pdf = pdf
+    w_mis = smp.power_heuristic(light_pdf, mis_bsdf_pdf)
     nee_contrib = (
         w_mis[..., None]
         * nol[..., None]
@@ -360,9 +480,12 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     if cfg.nee and cfg.mis_mode == "exact":
         # true MIS complement: light-sampling pdf of the point the BSDF ray
         # actually hit (solid-angle-converted area pdf x selection prob)
-        e1h = pos_c[:, 1] - pos_c[:, 0]
-        e2h = pos_c[:, 2] - pos_c[:, 0]
-        area_hit = 0.5 * m3.length(jnp.cross(e1h, e2h))
+        if attrs is not None:
+            area_hit = area_fused
+        else:
+            e1h = pos_c[:, 1] - pos_c[:, 0]
+            e2h = pos_c[:, 2] - pos_c[:, 0]
+            area_hit = 0.5 * m3.length(jnp.cross(e1h, e2h))
         cos_hit = jnp.abs(m3.dot(gn, -direction))
         if cfg.light_sampling == "power":
             sel_hit = _take_rows(
@@ -370,6 +493,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             )[:, 0]
         else:
             sel_hit = 1.0 / scene.num_lights
+        sel_hit = sel_hit * (1.0 - p_env)  # env/area mixture selection
         pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
         w_emit = jnp.where(
             state["prev_nee"], smp.power_heuristic(state["prev_pdf"], pdf_hit), 1.0
@@ -389,13 +513,25 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
 
     if scene.has_envmap:
         # environment emitter on miss (capability the reference stubs:
-        # miss.rmiss:15-18 returns nothing).  NEE never samples the envmap,
-        # so BSDF-sampled env hits carry full weight — no MIS discount.
-        from .envmap import eval_envmap
+        # miss.rmiss:15-18 returns nothing).  With NEE on, BSDF-sampled env
+        # hits are MIS-discounted against the env NEE strategy: the mixture
+        # pdf of a miss direction is p_env * envmap_pdf (area lights cannot
+        # produce a direction that misses all geometry).
+        from .envmap import eval_envmap, envmap_pdf
 
         env_l = eval_envmap(scene.envmap, scene.envmap_rot, direction)
+        if cfg.nee:
+            pdf_e = envmap_pdf(scene.envmap_pdf, scene.envmap_rot, direction) * p_env
+            w_env = jnp.where(
+                state["prev_nee_any"] & (~state["was_delta"]),
+                smp.power_heuristic(state["prev_pdf"], pdf_e),
+                1.0,
+            )
+            scale_env = jnp.where(state["count_emitted"], 1.0, w_env)
+        else:
+            scale_env = jnp.ones_like(state["prev_pdf"])
         emitted = emitted + jnp.where(
-            miss[..., None], state["weight"] * env_l, 0.0
+            miss[..., None], scale_env[..., None] * state["weight"] * env_l, 0.0
         )
 
     # path termination tests (rayhit.rchit:770-784)
@@ -425,6 +561,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     state_out["direct_weight"] = jnp.where(cont, new_direct_weight, state["direct_weight"])
     state_out["prev_pdf"] = jnp.where(cont, pdf, state["prev_pdf"])
     state_out["prev_nee"] = jnp.where(cont, nee_done, state["prev_nee"])
+    state_out["prev_nee_any"] = jnp.where(cont, nee_candidate, state["prev_nee_any"])
     state_out["was_delta"] = jnp.where(cont, delta, wd)
     state_out["count_emitted"] = jnp.where(cont, False, ce)
     state_out["done"] = state["done"] | miss | terminate
@@ -483,6 +620,7 @@ def trace_rays(
         direct_weight=jnp.ones((r,), jnp.float32),
         prev_pdf=jnp.ones((r,), jnp.float32),
         prev_nee=jnp.zeros((r,), bool),
+        prev_nee_any=jnp.zeros((r,), bool),
         was_delta=jnp.zeros((r,), bool),
         count_emitted=jnp.ones((r,), bool),  # raygen.rgen:43
         done=jnp.zeros((r,), bool),
@@ -559,6 +697,7 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
         direct_weight=jnp.ones((r,), jnp.float32),
         prev_pdf=jnp.ones((r,), jnp.float32),
         prev_nee=jnp.zeros((r,), bool),
+        prev_nee_any=jnp.zeros((r,), bool),
         was_delta=jnp.zeros((r,), bool),
         count_emitted=jnp.ones((r,), bool),
         done=jnp.zeros((r,), bool),
@@ -597,6 +736,7 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
         st["direct_weight"] = jnp.where(regen, 1.0, st["direct_weight"])
         st["prev_pdf"] = jnp.where(regen, 1.0, st["prev_pdf"])
         st["prev_nee"] = jnp.where(regen, False, st["prev_nee"])
+        st["prev_nee_any"] = jnp.where(regen, False, st["prev_nee_any"])
         st["was_delta"] = jnp.where(regen, False, st["was_delta"])
         st["count_emitted"] = jnp.where(regen, True, st["count_emitted"])
         st["depth"] = jnp.where(regen, 0, st["depth"])

@@ -73,6 +73,10 @@ class SceneData:
     # evaluated: miss.rmiss returns nothing); here it shades.
     envmap: jax.Array  # (He,We,3) float32; (1,1,3) zeros when absent
     envmap_rot: jax.Array  # (3,3) world->envmap rotation
+    # envmap importance sampling (integrator/envmap.py:sample_envmap):
+    # flattened luminance*sin(theta) texel CDF + per-texel solid-angle pdf
+    envmap_cdf: jax.Array  # (He*We,) float32, monotone, last == 1
+    envmap_pdf: jax.Array  # (He,We) float32 pdf per steradian
     # power-proportional light selection (optional alternative to the
     # reference's uniform pick): prefix-sum CDF + per-light probability
     light_cdf: jax.Array  # (L,)
@@ -81,6 +85,9 @@ class SceneData:
     # are stored in sorted order so BVH prim ids == array indices
     bvh_node_min: jax.Array  # (2C-1,3)
     bvh_node_max: jax.Array  # (2C-1,3)
+    # preorder DFS flattening with skip pointers (bvh/dfs_sweep.py)
+    bvh_dfs_bounds: jax.Array  # (6,N) f32: rows 0-2 lo, 3-5 hi
+    bvh_dfs_meta: jax.Array  # (2,N) i32: [skip idx, leaf tri offset | -1]
     camera: CameraData
     # static metadata
     num_tris: int = dataclasses.field(metadata=dict(static=True))
@@ -93,6 +100,9 @@ class SceneData:
     kinds_present: tuple = dataclasses.field(metadata=dict(static=True))
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
     has_envmap: bool = dataclasses.field(metadata=dict(static=True))
+    # whether any geometric (area) lights exist; distinguishes the real light
+    # table from the single zero-radiance pad light (NEE strategy selection)
+    has_area_lights: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
     def padded_tris(self) -> int:
@@ -242,6 +252,12 @@ def build_scene(b: SceneBuilder) -> SceneData:
 
     woop = woop_transform(pos)
 
+    from ..bvh.dfs_sweep import build_dfs_tables
+
+    dfs_bounds, dfs_meta = build_dfs_tables(
+        bvh.node_min, bvh.node_max, bvh.n_clusters, num_tris, bvh.leaf_size
+    )
+
     if b.light_pos:
         lpos = np.concatenate(b.light_pos)
         lemit = np.concatenate(b.light_emission)
@@ -261,6 +277,26 @@ def build_scene(b: SceneBuilder) -> SceneData:
     prob = power / total if total > 0 else np.full((num_lights,), 1.0 / num_lights)
     cdf = np.cumsum(prob).astype(np.float32)
     cdf[-1] = 1.0
+
+    # envmap importance-sampling tables: flattened texel CDF weighted by
+    # luminance * sin(theta) (the lat-long area element), plus the per-texel
+    # solid-angle pdf used for NEE weights and BSDF-hit MIS
+    if b.envmap_image is not None:
+        em = np.asarray(b.envmap_image, np.float32)
+        he, we = em.shape[0], em.shape[1]
+        lum = em @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+        sin_t = np.sin(np.pi * (np.arange(he, dtype=np.float32) + 0.5) / he)
+        wgt = lum * sin_t[:, None] + 1e-12  # strictly positive: pdf>0 wherever L>=0
+        p_texel = wgt / wgt.sum()
+        env_cdf = np.cumsum(p_texel.ravel()).astype(np.float32)
+        env_cdf[-1] = 1.0
+        # d^2(omega) = 2*pi^2*sin(theta) du dv; texel du dv = 1/(We*He)
+        env_pdf = (p_texel * (we * he) / (2.0 * np.pi**2 * sin_t[:, None])).astype(
+            np.float32
+        )
+    else:
+        env_cdf = np.ones((1,), np.float32)
+        env_pdf = np.ones((1, 1), np.float32)
 
     kinds, params = b.bsdfs.pack()
     if b.textures:
@@ -299,10 +335,14 @@ def build_scene(b: SceneBuilder) -> SceneData:
         envmap_rot=jnp.asarray(
             np.linalg.inv(b.envmap_to_world[:3, :3]).astype(np.float32)
         ),
+        envmap_cdf=jnp.asarray(env_cdf),
+        envmap_pdf=jnp.asarray(env_pdf),
         light_cdf=jnp.asarray(cdf),
         light_prob=jnp.asarray(prob.astype(np.float32)),
         bvh_node_min=jnp.asarray(bvh.node_min),
         bvh_node_max=jnp.asarray(bvh.node_max),
+        bvh_dfs_bounds=jnp.asarray(dfs_bounds),
+        bvh_dfs_meta=jnp.asarray(dfs_meta),
         camera=CameraData(
             to_world=jnp.asarray(b.cam_to_world, jnp.float32),
             fov=jnp.asarray(b.cam_fov, jnp.float32),
@@ -315,4 +355,5 @@ def build_scene(b: SceneBuilder) -> SceneData:
         kinds_present=tuple(sorted(set(int(k) for k in kinds))),
         has_textures=bool(b.textures),
         has_envmap=b.envmap_image is not None,
+        has_area_lights=bool(b.light_pos),
     )

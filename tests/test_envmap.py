@@ -117,3 +117,57 @@ def test_mitsuba_constant_emitter_parse(tmp_path):
     scene, b = load_mitsuba_scene(str(p))
     assert scene.has_envmap
     assert np.allclose(np.asarray(scene.envmap)[0, 0], [0.25, 0.5, 0.75])
+
+
+def test_env_nee_unbiased_and_lower_variance():
+    """Env importance sampling (NEE + MIS) must agree with the BSDF-only
+    estimator in expectation and cut variance on a hotspot-lit scene
+    (VERDICT r1 item 4)."""
+    import jax.numpy as jnp
+    from gpuspectral_tpu.integrator import render_image
+
+    b = _open_scene_builder()
+    env = np.full((16, 32, 3), 0.05, np.float32)
+    env[3, 20] = [400.0, 400.0, 400.0]  # small bright sun
+    b.set_envmap(env)
+    scene = b.build()
+    assert scene.has_envmap and not scene.has_area_lights
+
+    def frames(nee, n=24, spp=2):
+        cfg = RenderConfig(width=16, height=16, spp=spp, max_depth=3,
+                           ray_batch=256, nee=nee, firefly_clamp=1e9)
+        return np.stack([
+            np.asarray(render_image(scene, cfg, timestamp0=i * spp)) for i in range(n)
+        ])
+
+    f_nee = frames(True)
+    f_bsdf = frames(False)
+    # floor region (bottom rows view the floor)
+    floor = (slice(None), slice(12, 16), slice(4, 12))
+    m_nee = f_nee[floor].mean()
+    m_bsdf = f_bsdf[floor].mean()
+    v_nee = f_nee[floor].mean(axis=(1, 2, 3)).var()
+    v_bsdf = f_bsdf[floor].mean(axis=(1, 2, 3)).var()
+    assert np.isfinite(f_nee).all() and np.isfinite(f_bsdf).all()
+    # unbiasedness: means agree within MC noise
+    se = np.sqrt(v_nee / len(f_nee) + v_bsdf / len(f_bsdf)) + 1e-6
+    assert abs(m_nee - m_bsdf) < 6 * se, (m_nee, m_bsdf, se)
+    # the sun subtends ~1e-2 sr: BSDF sampling almost never finds it
+    # (measured ~4x reduction at these sample counts; gate at 2x)
+    assert v_nee < 0.5 * v_bsdf, (v_nee, v_bsdf)
+
+
+def test_env_furnace_with_nee():
+    """Constant env + NEE: the white-furnace energy check must still hold
+    through the env NEE + MIS path (estimator consistency)."""
+    from gpuspectral_tpu.integrator import render_image
+
+    b = _open_scene_builder()
+    b.set_envmap(np.broadcast_to(np.float32([1.0, 1.0, 1.0]), (1, 1, 3)))
+    scene = b.build()
+    cfg = RenderConfig(width=24, height=24, spp=96, max_depth=3, ray_batch=576,
+                       jitter=True)
+    img = np.asarray(render_image(scene, cfg))
+    floor = img[20:, 8:16]
+    assert np.isfinite(img).all()
+    assert abs(floor.mean() - 0.5) < 0.05, floor.mean()
