@@ -36,7 +36,7 @@ direction, matching the XLA intersector's autodiff bit-for-bit semantics.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -347,16 +347,19 @@ def _make_any_kernel(n_nodes: int, block: int):
 # ---------------------------------------------------------------------------
 
 
-def _block_size(scene, n_attr: int) -> int:
+def _block_size_arrays(t: int, n_attr: int) -> int:
     """Pick the ray-block size so woop + attr tables + per-lane planes stay
     inside VMEM (v5e ~16 MB usable)."""
-    t = scene.tri_woop_t.shape[1]
     tables = (12 + n_attr) * t * 4
     for block in (1024, 512, 256):
         planes = (8 + 4 + n_attr) * block * SWEEP * 4
         if tables + planes <= 13 * 1024 * 1024:
             return block
     return 128
+
+
+def _block_size(scene, n_attr: int) -> int:
+    return _block_size_arrays(scene.tri_woop_t.shape[1], n_attr)
 
 
 def fused_attr_rows(scene) -> int:
@@ -400,10 +403,16 @@ def dfs_closest(scene, origin, direction, active=None, t_max=None,
     origin, direction, t_min, t_max, nb, r0 = _pad_rays(
         origin, direction, t_min, t_max, block)
     bounds, meta = scene.bvh_dfs_bounds, scene.bvh_dfs_meta
-    n_nodes = bounds.shape[1]
     woop_t = scene.tri_woop_t
     attr = _attr_table(scene, scene.has_textures) if n_attr else jnp.zeros(
         (1, woop_t.shape[1]), jnp.float32)
+    return _closest_call(bounds, meta, woop_t, attr, origin, direction,
+                         t_min, t_max, nb, r0, n_attr, block, interpret)
+
+
+def _closest_call(bounds, meta, woop_t, attr, origin, direction, t_min, t_max,
+                  nb, r0, n_attr, block, interpret):
+    n_nodes = bounds.shape[1]
     a_pad = max(8, -(-n_attr // 8) * 8) if n_attr else 8
 
     spec_r3 = pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -499,40 +508,64 @@ def _woop_eval_rows(rows, o, d):
     return t, u, v
 
 
-def closest_diff(scene, origin, direction, active=None):
-    """dfs_closest with exact (t, u, v) gradients w.r.t. (origin, direction),
-    computed by re-evaluating each ray's hit triangle's Woop test
-    differentiably in the backward pass (one (R,12) row gather, backward
-    only).  Scene geometry is closed over non-differentiably (static scenes,
-    as the reference's BLAS cache assumes); the fused attrs output is pure
-    geometry selected by the discrete prim id — zero gradient a.e."""
-    r = origin.shape[0]
-    t_max = jnp.full((r,), _BIG, jnp.float32)
-    if active is not None:
-        t_max = jnp.where(active, t_max, -_BIG)
-    woop_rows_table = jax.lax.stop_gradient(scene.tri_woop)
+def _dfs_closest_arrays(bounds, meta, woop_t, attr, o, d, t_max):
+    """dfs_closest over explicit arrays: the custom_vjp primal must take
+    every traced array as an explicit argument — closures and nondiff_argnums
+    would leak tracers under remat (path-replay backprop re-runs the
+    forward)."""
+    n_attr = attr.shape[0] if attr.shape[0] > 1 else 0
+    block = _block_size_arrays(woop_t.shape[1], n_attr)
+    interpret = jax.default_backend() != "tpu"
+    origin, direction, t_min, t_max, nb, r0 = _pad_rays(
+        o, d, jnp.zeros(o.shape[:1], jnp.float32), t_max, block)
+    return _closest_call(bounds, meta, woop_t, attr, origin, direction,
+                         t_min, t_max, nb, r0, n_attr, block, interpret)
 
+
+@lru_cache(maxsize=None)
+def _make_closest_vjp(statics):
     @jax.custom_vjp
-    def f(o, d, tm):
-        return dfs_closest(scene, o, d, t_max=tm)
+    def f(o, d, tm, bounds, meta, woop_t, attr, woop_rows):
+        return _dfs_closest_arrays(bounds, meta, woop_t, attr, o, d, tm)
 
-    def f_fwd(o, d, tm):
-        out = dfs_closest(scene, o, d, t_max=tm)
-        return out, (o, d, out[1])
+    def f_fwd(o, d, tm, bounds, meta, woop_t, attr, woop_rows):
+        out = f(o, d, tm, bounds, meta, woop_t, attr, woop_rows)
+        return out, (o, d, out[1], woop_rows)
 
     def f_bwd(res, ct):
-        o, d, prim = res
-        ct_t, _ct_prim, ct_u, ct_v = ct[0], ct[1], ct[2], ct[3]
+        o, d, prim, woop_rows = res
+        ct_t, ct_u, ct_v = ct[0], ct[2], ct[3]
         hit = prim >= 0
-        rows = woop_rows_table[jnp.maximum(prim, 0)]
+        rows = woop_rows[jnp.maximum(prim, 0)]
         _, vjp = jax.vjp(lambda oo, dd: _woop_eval_rows(rows, oo, dd), o, d)
         zero = jnp.zeros_like(ct_t)
         m = lambda c: jnp.where(hit, c, zero)
         do, dd = vjp((m(ct_t), m(ct_u), m(ct_v)))
-        return do, dd, jnp.zeros_like(t_max)
+        return do, dd, None, None, None, None, None, None
 
     f.defvjp(f_fwd, f_bwd)
-    return f(origin, direction, t_max)
+    return f
+
+
+def closest_diff(scene, origin, direction, active=None):
+    """dfs_closest with exact (t, u, v) gradients w.r.t. (origin, direction),
+    computed by re-evaluating each ray's hit triangle's Woop test
+    differentiably in the backward pass (one (R,12) row gather, backward
+    only).  Scene geometry takes no gradient (static scenes, as the
+    reference's BLAS cache assumes); the fused attrs output is pure geometry
+    selected by the discrete prim id — zero gradient a.e."""
+    r = origin.shape[0]
+    t_max = jnp.full((r,), _BIG, jnp.float32)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -_BIG)
+    n_attr = fused_attr_rows(scene)
+    attr = (_attr_table(scene, scene.has_textures) if n_attr
+            else jnp.zeros((1, scene.tri_woop_t.shape[1]), jnp.float32))
+    f = _make_closest_vjp((bool(scene.has_textures), int(scene.num_tris)))
+    sg = jax.lax.stop_gradient
+    return f(origin, direction, t_max, sg(scene.bvh_dfs_bounds),
+             sg(scene.bvh_dfs_meta), sg(scene.tri_woop_t), sg(attr),
+             sg(scene.tri_woop))
 
 
 def any_nodiff(scene, origin, direction, t_min, t_max, active=None):

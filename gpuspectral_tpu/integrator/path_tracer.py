@@ -155,48 +155,53 @@ def _resolve_intersector(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "woop"
 
 
-def _brute_closest_diff(scene: SceneData, origin, direction, t_max0):
+@jax.custom_vjp
+def _brute_vjp(origin, direction, t_max0, woop_t, woop_rows):
     """Brute-force Pallas closest hit with exact (t, u, v) gradients w.r.t.
     (origin, direction): forward is the fused kernel, backward re-evaluates
     each ray's hit triangle's Woop test differentiably (bvh/dfs_sweep.py
     closest_diff, same scheme).  Without this, reverse-mode AD cannot
     linearize through pallas_call (no transpose rule) — TPU gradients would
-    only work on the slow XLA intersectors."""
-    from ..bvh.dfs_sweep import _woop_eval_rows
+    only work on the slow XLA intersectors.  Tables ride as explicit args
+    (closures over tracers leak under the path-replay remat)."""
     from ..ops.pallas_isect import closest_pallas
     from ..ops.woop import _recover_uv
 
-    woop_rows_table = jax.lax.stop_gradient(scene.tri_woop)
-    woop_t = jax.lax.stop_gradient(scene.tri_woop_t)
     r = origin.shape[0]
+    t, prim = closest_pallas(origin, direction, woop_t,
+                             jnp.zeros((r,), jnp.float32), t_max0)
+    bu, bv = _recover_uv(origin, direction, woop_rows, prim,
+                         jnp.where(prim >= 0, t, 0.0))
+    bu = jnp.where(prim >= 0, bu, 0.0)
+    bv = jnp.where(prim >= 0, bv, 0.0)
+    return t, prim, bu, bv
 
-    @jax.custom_vjp
-    def f(o, d, tm):
-        t, prim = closest_pallas(o, d, woop_t, jnp.zeros((r,), jnp.float32), tm)
-        bu, bv = _recover_uv(
-            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-            woop_rows_table, prim, jnp.where(prim >= 0, t, 0.0)
-        )
-        bu = jnp.where(prim >= 0, bu, 0.0)
-        bv = jnp.where(prim >= 0, bv, 0.0)
-        return t, prim, bu, bv
 
-    def f_fwd(o, d, tm):
-        out = f(o, d, tm)
-        return out, (o, d, out[1])
+def _brute_vjp_fwd(origin, direction, t_max0, woop_t, woop_rows):
+    out = _brute_vjp(origin, direction, t_max0, woop_t, woop_rows)
+    return out, (origin, direction, out[1], woop_rows)
 
-    def f_bwd(res, ct):
-        o, d, prim = res
-        hit = prim >= 0
-        rows = woop_rows_table[jnp.maximum(prim, 0)]
-        _, vjp = jax.vjp(lambda oo, dd: _woop_eval_rows(rows, oo, dd), o, d)
-        zero = jnp.zeros_like(ct[0])
-        m = lambda c: jnp.where(hit, c, zero)
-        do, dd = vjp((m(ct[0]), m(ct[2]), m(ct[3])))
-        return do, dd, jnp.zeros_like(zero)
 
-    f.defvjp(f_fwd, f_bwd)
-    return f(origin, direction, t_max0)
+def _brute_vjp_bwd(res, ct):
+    from ..bvh.dfs_sweep import _woop_eval_rows
+
+    o, d, prim, woop_rows = res
+    hit = prim >= 0
+    rows = woop_rows[jnp.maximum(prim, 0)]
+    _, vjp = jax.vjp(lambda oo, dd: _woop_eval_rows(rows, oo, dd), o, d)
+    zero = jnp.zeros_like(ct[0])
+    m = lambda c: jnp.where(hit, c, zero)
+    do, dd = vjp((m(ct[0]), m(ct[2]), m(ct[3])))
+    return do, dd, None, None, None
+
+
+_brute_vjp.defvjp(_brute_vjp_fwd, _brute_vjp_bwd)
+
+
+def _brute_closest_diff(scene: SceneData, origin, direction, t_max0):
+    sg = jax.lax.stop_gradient
+    return _brute_vjp(origin, direction, t_max0, sg(scene.tri_woop_t),
+                      sg(scene.tri_woop))
 
 
 def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
