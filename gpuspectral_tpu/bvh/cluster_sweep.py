@@ -302,10 +302,16 @@ def cluster_closest(scene, origin, direction, active=None, interpret=False):
     bvh.traverse.intersect_closest_bvh: (t, prim, u, v), prim == -1 on miss,
     indices into the Morton-sorted triangle arrays."""
     r = origin.shape[0]
-    t_min = jnp.zeros((r,), jnp.float32)
     t_max = jnp.full((r,), _BIG, jnp.float32)
     if active is not None:
         t_max = jnp.where(active, t_max, -_BIG)
+    return cluster_closest_tmax(scene, origin, direction, t_max, interpret)
+
+
+def cluster_closest_tmax(scene, origin, direction, t_max, interpret=False):
+    """cluster_closest with an explicit per-ray t_max (inactive = -BIG)."""
+    r = origin.shape[0]
+    t_min = jnp.zeros((r,), jnp.float32)
     woop_t, votes, origin, direction, t_min, t_max, nb, r0, s, k, sp = _prepare(
         scene, origin, direction, t_min, t_max, interpret
     )

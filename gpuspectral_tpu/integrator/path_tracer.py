@@ -218,7 +218,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
             from ..bvh.dfs_sweep import closest_diff
 
             t, prim, bu, bv, attrs = closest_diff(
-                scene, origin, direction, active=alive
+                scene, origin, direction, active=alive, kernel=cfg.bvh_kernel
             )
         else:
             from ..bvh.traverse import intersect_closest_bvh
@@ -411,6 +411,7 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
                 t_min=cfg.shadow_epsilon,
                 t_max=ldist - cfg.shadow_epsilon,
                 active=nee_candidate,
+                kernel=cfg.bvh_kernel,
             )
         else:
             from ..bvh.traverse import intersect_any_bvh

@@ -44,6 +44,18 @@ def _replicated_specs(tree):
     return jax.tree_util.tree_map(lambda _: P(), tree)
 
 
+def _prep_inputs(mesh: Mesh, scene: SceneData, arrays):
+    """Single-process: pass host arrays straight through (jit handles the
+    placement).  Multi-process: shard_map needs *global* arrays — build them
+    from the identical per-host values (parallel/launch.py helpers)."""
+    if jax.process_count() <= 1:
+        return scene, [jnp.asarray(a) for a, _ in arrays]
+    from .launch import global_sharded, replicate_pytree
+
+    scene = replicate_pytree(mesh, scene)
+    return scene, [global_sharded(mesh, np.asarray(a), spec) for a, spec in arrays]
+
+
 def render_image_sharded(
     scene: SceneData, cfg: RenderConfig, mesh: Mesh, timestamp0: int = 0
 ):
@@ -59,7 +71,9 @@ def render_image_sharded(
     assert cfg.spp % spp_shards == 0, (cfg.spp, spp_shards)
     local_spp = cfg.spp // spp_shards
 
-    pixel_index = jnp.arange(n_pixels, dtype=jnp.uint32)
+    scene, [pixel_index] = _prep_inputs(
+        mesh, scene, [(np.arange(n_pixels, dtype=np.uint32), P("tiles"))]
+    )
 
     @partial(
         jax.shard_map,
@@ -113,8 +127,11 @@ def grad_step_sharded(
     assert cfg.spp % spp_shards == 0
     local_spp = cfg.spp // spp_shards
 
-    pixel_index = jnp.arange(n_pixels, dtype=jnp.uint32)
-    target_flat = target.reshape(n_pixels, 3)
+    scene, [pixel_index, target_flat] = _prep_inputs(
+        mesh, scene,
+        [(np.arange(n_pixels, dtype=np.uint32), P("tiles")),
+         (np.asarray(target).reshape(n_pixels, 3), P("tiles", None))],
+    )
 
     @partial(
         jax.shard_map,

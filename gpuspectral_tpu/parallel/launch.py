@@ -13,8 +13,10 @@ the standard JAX multi-host recipe:
     (io/checkpoint.py) — a crashed long render restarts exactly from the
     running mean (SURVEY.md §5.3-5.4).
 
-Local simulation: `GPUSPECTRAL_FAKE_HOSTS=N` + the CPU backend exercises the
-same code paths in tests without a pod (SURVEY.md §4 test strategy).
+Local simulation: `GPUSPECTRAL_FAKE_HOSTS=N` (+ `GPUSPECTRAL_FAKE_HOST_ID`,
+`GPUSPECTRAL_COORDINATOR`) with the CPU backend runs N real OS processes
+through the same `jax.distributed` + gloo-collectives code paths as a pod —
+exercised by tests/test_multihost.py (SURVEY.md §4 test strategy).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(
@@ -33,7 +35,15 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize jax.distributed.  On TPU pods all arguments come from the
-    environment; elsewhere pass them explicitly (or set JAX_COORDINATOR etc.)."""
+    environment; elsewhere pass them explicitly, or simulate a pod on CPU
+    with GPUSPECTRAL_FAKE_HOSTS=N / GPUSPECTRAL_FAKE_HOST_ID=i /
+    GPUSPECTRAL_COORDINATOR=host:port (gloo collectives over localhost)."""
+    fake = int(os.environ.get("GPUSPECTRAL_FAKE_HOSTS", "0"))
+    if fake > 1:
+        num_processes = fake
+        process_id = int(os.environ["GPUSPECTRAL_FAKE_HOST_ID"])
+        coordinator = os.environ.get("GPUSPECTRAL_COORDINATOR", "127.0.0.1:9473")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if num_processes is not None and num_processes <= 1:
         return
     kw = {}
@@ -44,6 +54,30 @@ def initialize(
     if process_id is not None:
         kw["process_id"] = process_id
     jax.distributed.initialize(**kw)
+
+
+def replicate_pytree(mesh: Mesh, tree):
+    """Turn host-local (per-process) arrays into fully-replicated *global*
+    arrays so shard_map programs accept them under multi-process execution.
+    Every process must hold identical values (true for scenes: each host
+    loads the same file — the reference's per-host asset loading model)."""
+    if jax.process_count() <= 1:
+        return tree
+    rep = NamedSharding(mesh, P())
+
+    def conv(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
+def global_sharded(mesh: Mesh, value: np.ndarray, spec: P):
+    """Build a global array sharded by `spec` from a full host-side value
+    (each process materializes only its addressable shards)."""
+    value = np.asarray(value)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(value.shape, sh, lambda idx: value[idx])
 
 
 def pod_mesh(spp_shards: int = 1) -> Mesh:

@@ -32,6 +32,10 @@ class RenderConfig:
     # "auto": Pallas fused kernels on TPU, Woop-XLA elsewhere.
     # "pallas" | "woop" | "mt" force a specific implementation.
     intersector: str = "auto"
+    # BVH Pallas kernel: "cluster" (dense static votes + gated linear sweep,
+    # fastest measured on v5e) or "dfs" (gated depth-first walk with dynamic
+    # occlusion culling + fused attribute gather)
+    bvh_kernel: str = "cluster"
     # periodic wavefront re-sorting by direction octant + origin Morton key:
     # restores packet coherence for BVH traversal on bounced rays (the EP/
     # queue-compaction analogue, SURVEY.md §2.3); irrelevant to brute force

@@ -1,0 +1,67 @@
+"""Multi-host (multi-process) distribution: real OS processes over gloo CPU
+collectives must reproduce the single-process sharded render + gradients
+(SURVEY.md §5.8; the GPUSPECTRAL_FAKE_HOSTS simulation promised by
+parallel/launch.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_render_matches_single(tmp_path):
+    n_hosts = 2
+    port = _free_port()
+    outs = [str(tmp_path / f"host{i}.npz") for i in range(n_hosts)]
+    procs = []
+    for i in range(n_hosts):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["GPUSPECTRAL_FAKE_HOSTS"] = str(n_hosts)
+        env["GPUSPECTRAL_FAKE_HOST_ID"] = str(i)
+        env["GPUSPECTRAL_COORDINATOR"] = f"127.0.0.1:{port}"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests/mh_worker.py"), outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-3000:]}"
+
+    res = np.load(outs[0])
+    assert res["processes"] == n_hosts
+    assert res["devices"] == 4  # 2 hosts x 2 virtual chips
+
+    # single-process reference on an equal 4-device mesh
+    from gpuspectral_tpu.parallel.dist import grad_step_sharded, make_mesh, render_image_sharded
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, _ = load_mitsuba_scene(str(REPO / "scenes/cornell/scene.xml"))
+    cfg = RenderConfig(width=16, height=8, spp=4, max_depth=2, ray_batch=128)
+    mesh = make_mesh(4, spp_shards=2)
+    img1 = np.asarray(render_image_sharded(scene, cfg, mesh))
+    loss1, grads1 = grad_step_sharded(scene, cfg, mesh, np.zeros((8, 16, 3), np.float32))
+
+    np.testing.assert_allclose(res["img"], img1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(res["loss"]), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(res["grads"], np.asarray(grads1), rtol=1e-4, atol=1e-8)
