@@ -73,9 +73,10 @@ def sample_envmap(envmap, rot, cdf, pdf_map, u1, u2):
     distribution (tables built in scene/data.py:build_scene).
 
     u1 picks the texel by inverting the flattened CDF; the CDF residual
-    (rescaled, independent uniform) jitters v inside the texel and u2
-    jitters u — the pdf is piecewise constant per texel, so uniform
-    in-texel jitter keeps the estimator exact.
+    (rescaled, independent uniform) and u2 jitter the direction uniformly in
+    SOLID ANGLE within the texel (phi uniform; theta by inverting the sin
+    density, i.e. cos(theta) uniform over the texel's cosine span) — the
+    sampled density is exactly the piecewise-constant pdf_map value.
 
     Returns (direction (R,3) world-space unit vectors, pdf (R,) per
     steradian)."""
@@ -88,10 +89,12 @@ def sample_envmap(envmap, rot, cdf, pdf_map, u1, u2):
     y = idx // w
     x = idx - y * w
     u = (x.astype(jnp.float32) + u2) / w
-    v = (y.astype(jnp.float32) + jv) / h
     # inverse of eval_envmap's mapping: u = (1 + atan2(ex,-ez)/pi)/2, v = acos(ey)/pi
     phi = (2.0 * u - 1.0) * jnp.pi
-    theta = v * jnp.pi
+    c0 = jnp.cos(jnp.pi * y.astype(jnp.float32) / h)
+    c1 = jnp.cos(jnp.pi * (y.astype(jnp.float32) + 1.0) / h)
+    cos_t = c0 + jv * (c1 - c0)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
     st = jnp.sin(theta)
     e = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1)
     # env->world: rot is world->env, orthonormal, so inverse = transpose

@@ -285,15 +285,19 @@ def build_scene(b: SceneBuilder) -> SceneData:
         em = np.asarray(b.envmap_image, np.float32)
         he, we = em.shape[0], em.shape[1]
         lum = em @ np.array([0.2126, 0.7152, 0.0722], np.float32)
-        sin_t = np.sin(np.pi * (np.arange(he, dtype=np.float32) + 0.5) / he)
-        wgt = lum * sin_t[:, None] + 1e-12  # strictly positive: pdf>0 wherever L>=0
+        # exact texel solid angles: Omega = (2pi/W) * (cos th0 - cos th1);
+        # the sampler (integrator/envmap.py) draws uniformly in solid angle
+        # WITHIN the chosen texel (theta via cos inversion), so the sampled
+        # density is exactly piecewise constant = p_texel / Omega_texel.
+        # (A row-center sin(theta) approximation is ~2x biased on a 1x1
+        # constant map and a few % on small maps.)
+        th = np.pi * np.arange(he + 1, dtype=np.float64) / he
+        omega_row = (2.0 * np.pi / we) * (np.cos(th[:-1]) - np.cos(th[1:]))
+        wgt = (lum + 1e-10) * omega_row[:, None].astype(np.float32)
         p_texel = wgt / wgt.sum()
         env_cdf = np.cumsum(p_texel.ravel()).astype(np.float32)
         env_cdf[-1] = 1.0
-        # d^2(omega) = 2*pi^2*sin(theta) du dv; texel du dv = 1/(We*He)
-        env_pdf = (p_texel * (we * he) / (2.0 * np.pi**2 * sin_t[:, None])).astype(
-            np.float32
-        )
+        env_pdf = (p_texel / omega_row[:, None]).astype(np.float32)
     else:
         env_cdf = np.ones((1,), np.float32)
         env_pdf = np.ones((1, 1), np.float32)

@@ -171,3 +171,34 @@ def test_env_furnace_with_nee():
     floor = img[20:, 8:16]
     assert np.isfinite(img).all()
     assert abs(floor.mean() - 0.5) < 0.05, floor.mean()
+
+
+def test_sample_envmap_exact_mc_integral():
+    """MC estimate of the env integral via importance samples must equal the
+    analytic texel sum (exact in-texel solid-angle sampling: theta by cos
+    inversion, pdf piecewise constant) — a row-center sin approximation is
+    ~2x biased on a 1x1 map."""
+    import jax.numpy as jnp
+    from gpuspectral_tpu.integrator.envmap import envmap_pdf, eval_envmap, sample_envmap
+
+    rs = np.random.default_rng(3)
+    for shape in ((1, 1), (2, 4), (8, 16)):
+        env = rs.uniform(0.1, 1, size=shape + (3,)).astype(np.float32)
+        b = _open_scene_builder()
+        b.set_envmap(env)
+        sc = b.build()
+        n = 200000
+        u1 = jnp.asarray(rs.uniform(size=n).astype(np.float32))
+        u2 = jnp.asarray(rs.uniform(size=n).astype(np.float32))
+        d, pdf = sample_envmap(sc.envmap, sc.envmap_rot, sc.envmap_cdf, sc.envmap_pdf, u1, u2)
+        L = eval_envmap(sc.envmap, sc.envmap_rot, d)
+        est = float(np.asarray(jnp.mean(jnp.sum(L, -1) / pdf)))
+        h, w = shape
+        th = np.pi * np.arange(h + 1) / h
+        omega = (2 * np.pi / w) * (np.cos(th[:-1]) - np.cos(th[1:]))
+        analytic = float((env.sum(-1) * omega[:, None]).sum())
+        assert abs(est - analytic) / analytic < 0.02, (shape, est, analytic)
+        # the pdf lookup must reproduce the sampler's pdf for sampled dirs
+        pdf2 = np.asarray(envmap_pdf(sc.envmap_pdf, sc.envmap_rot, d))
+        frac = np.mean(np.abs(pdf2 - np.asarray(pdf)) / np.asarray(pdf) > 1e-4)
+        assert frac < 1e-3, frac
