@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Driver benchmark: one JSON line with the headline metric.
 
-Headline config (BASELINE.json): Cornell box 512x512 @ 64 spp.  Reports
-measured Mrays/s on the current chip (rays actually traced: closest-hit +
-shadow).  The reference publishes no numbers (BASELINE.md), so vs_baseline
-is reported against the north-star working target of 100 Mrays/s/chip.
+Covers the full declared metric (BASELINE.json): Mrays/s at Cornell box
+512x512 @ 64 spp depth 50 (rays actually traced: closest-hit + shadow),
+grad-steps/s at Cornell 512^2@64spp (depth 5), and a BVH-scale scene row
+(staircase2, 31k triangles).  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against the north-star working
+target of 100 Mrays/s/chip.
 """
 
 import json
@@ -14,6 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGET_MRAYS = 100.0
+REF_SCENES = "/root/reference/src/GPUSpectral/assets/scenes"
 
 
 def main() -> int:
@@ -22,33 +25,53 @@ def main() -> int:
     from gpuspectral_tpu.utils.jaxcache import enable as _enable_cache
 
     _enable_cache()
-    from gpuspectral_tpu.utils.bench import run_benchmark
+    from gpuspectral_tpu.utils.bench import run_benchmark, run_grad_benchmark
 
-    scene_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scenes/cornell/scene.xml")
-    args = argparse.Namespace(
-        scene=scene_path,
-        output="/dev/null",
-        spp=16,
-        size="512x512",
-        depth=None,
-        no_nee=False,
-        jitter=False,
-        tonemap=False,
-        seed=0,
-        ray_batch=65536,
-        metrics=None,
-        warmup=1,
-        iters=2,
-    )
-    result = run_benchmark(args)
+    here = os.path.dirname(os.path.abspath(__file__))
+    cornell = os.path.join(here, "scenes/cornell/scene.xml")
+
+    def render_args(scene, spp, bvh):
+        return argparse.Namespace(
+            scene=scene, output="/dev/null", spp=spp, size="512x512",
+            depth=None, no_nee=False, jitter=False, tonemap=False, seed=0,
+            ray_batch=65536, metrics=None, warmup=1, iters=2, bvh=bvh,
+            intersector="auto", packet_size=1024,
+        )
+
+    detail = {}
+    # 1. headline: Cornell 512^2 @ 64 spp (fused Pallas megakernel)
+    result = run_benchmark(render_args(cornell, 64, False))
+    detail["cornell"] = result
+
+    # 2. BVH-scale scene: staircase2 (31k tris), Mrays/s is spp-independent
+    stair = os.path.join(REF_SCENES, "staircase2/scene.xml")
+    if os.path.exists(stair):
+        try:
+            detail["staircase2"] = run_benchmark(render_args(stair, 4, True))
+        except Exception as e:  # keep the headline even if the BVH row fails
+            detail["staircase2"] = {"error": str(e)[:300]}
+
+    # 3. gradient-step throughput (path-replay backprop)
+    try:
+        detail["grad"] = run_grad_benchmark(cornell, steps=1)
+    except Exception as e:
+        detail["grad"] = {"error": str(e)[:300]}
+
+    mrays = result["mrays_per_s"]
     print(
         json.dumps(
             {
-                "metric": "cornell_512_mrays_per_s",
-                "value": round(result["mrays_per_s"], 2),
+                "metric": "cornell_512_64spp_mrays_per_s",
+                "value": round(mrays, 2),
                 "unit": "Mrays/s",
-                "vs_baseline": round(result["mrays_per_s"] / TARGET_MRAYS, 4),
-                "detail": result,
+                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+                "staircase2_mrays_per_s": round(
+                    detail.get("staircase2", {}).get("mrays_per_s", 0.0), 3
+                ),
+                "grad_steps_per_s_512_64spp_d5": round(
+                    detail.get("grad", {}).get("grad_steps_per_s", 0.0), 4
+                ),
+                "detail": detail,
             }
         )
     )

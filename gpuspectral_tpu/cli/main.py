@@ -37,6 +37,17 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
         "--intersector", default="auto", choices=["auto", "mega", "pallas", "woop", "mt"],
         help="auto: fused megakernel on TPU when eligible, else Pallas/Woop",
     )
+    p.add_argument(
+        "--light-sampling", default="uniform", choices=["uniform", "power"],
+        help="NEE light pick: uniform (reference, rayhit.rchit:148) or "
+             "power-proportional (lower variance on many-light scenes)",
+    )
+    p.add_argument(
+        "--mis", default="reference", choices=["reference", "exact"],
+        help="emitter-hit MIS weight: the reference's directWeight "
+             "approximation or the exact light pdf (matches ground truth "
+             "on many-light scenes)",
+    )
 
 
 class CliError(RuntimeError):
@@ -72,6 +83,8 @@ def _build(args):
         # Morton/octant re-sorting restores block coherence for BVH sweeps
         # (+14% measured on staircase2); pure overhead for brute force
         sort_rays=getattr(args, "bvh", False),
+        light_sampling=getattr(args, "light_sampling", "uniform"),
+        mis_mode=getattr(args, "mis", "reference"),
     )
     return scene, cfg
 
@@ -134,6 +147,67 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def _ansi_preview(img, max_rows: int = 40) -> str:
+    """Render an (H,W,3) linear image as 24-bit ANSI half-block art — the
+    headless stand-in for the reference's swapchain window
+    (engine/Window.cpp:20-25)."""
+    import numpy as np
+
+    from ..io.image import tonemap_aces
+
+    h = img.shape[0]
+    rows = min(max_rows * 2, h)
+    step = max(1, h // rows)
+    small = img[::step, ::step][:rows]
+    srgb = np.clip(tonemap_aces(np.asarray(small)), 0.0, 1.0) ** (1 / 2.2)
+    q = (srgb * 255).astype(np.uint8)
+    lines = []
+    for y in range(0, q.shape[0] - 1, 2):
+        top, bot = q[y], q[y + 1]
+        line = "".join(
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(top, bot)
+        )
+        lines.append(line + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def cmd_view(args) -> int:
+    """Progressive viewer: the reference's Window::run frame loop
+    (engine/Window.cpp:20-25) headless — 1 spp/frame folded into the running
+    mean, preview written every K frames (PNG and/or ANSI terminal art)."""
+    import numpy as np
+
+    from ..engine import Engine
+
+    scene, cfg = _build(args)
+    eng = Engine(".")
+    eng.init(cfg.width, cfg.height, spp=1, max_depth=cfg.max_depth, nee=cfg.nee,
+              use_bvh=cfg.use_bvh, intersector=cfg.intersector,
+              sort_rays=cfg.sort_rays)
+    eng.scene = scene
+
+    every = max(1, args.every)
+
+    def on_frame(i, img):
+        if i % every:
+            return
+        if args.preview:
+            _write(args.preview, img, True)
+        if args.ansi:
+            sys.stdout.write("\x1b[H\x1b[2J" + _ansi_preview(img) + "\n")
+        print(f"frame {i}/{args.frames} (1 spp/frame running mean)",
+              file=sys.stderr)
+
+    t0 = time.time()
+    eng.run(args.frames, on_frame=on_frame)
+    print(f"{args.frames} frames in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.output:
+        eng.save(args.output, tonemap=args.tonemap)
+        print(args.output)
+    return 0
+
+
 def cmd_gradcheck(args) -> int:
     from ..diff.gradcheck import run_gradcheck
 
@@ -162,6 +236,14 @@ def main(argv=None) -> int:
     p_grad = sub.add_parser("gradcheck", help="check path-replay grads vs finite differences")
     _add_render_args(p_grad)
     p_grad.set_defaults(fn=cmd_gradcheck)
+
+    p_view = sub.add_parser("view", help="progressive viewer (headless frame loop)")
+    _add_render_args(p_view)
+    p_view.add_argument("--frames", type=int, default=64, help="progressive 1-spp frames")
+    p_view.add_argument("--every", type=int, default=4, help="preview every K frames")
+    p_view.add_argument("--preview", default=None, help="PNG refreshed every K frames")
+    p_view.add_argument("--ansi", action="store_true", help="24-bit ANSI preview in terminal")
+    p_view.set_defaults(fn=cmd_view)
 
     p_inv = sub.add_parser("invert", help="inverse rendering: recover BSDF params")
     _add_render_args(p_inv)

@@ -639,10 +639,9 @@ def trace_rays(
     n_bounces = cfg.max_depth + 1
 
     if differentiable:
-        bounce_step = jax.checkpoint(
-            lambda st, b: (_bounce(scene, cfg, b, st), None),
-            static_argnums=(),
-        )
+        bounce_step = lambda st, b: (_bounce(scene, cfg, b, st), None)
+        if cfg.grad_remat == "bounce":
+            bounce_step = jax.checkpoint(bounce_step, static_argnums=())
         state, _ = jax.lax.scan(
             bounce_step, state, jnp.arange(n_bounces, dtype=jnp.uint32)
         )

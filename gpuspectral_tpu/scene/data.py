@@ -15,6 +15,20 @@ a static TPU scene we bake everything once at build time:
 Arrays are padded to TPU-friendly multiples (lane width 128) with degenerate
 triangles; `num_tris` / `num_lights` stay static Python ints so shapes are
 jit-stable.
+
+Design decision — no instance level (vs renderer/Scene.h:17-21's
+RenderObject{transform, mesh, material} + per-frame TLAS rebuild,
+renderer/PathTracer.cpp:10-19): the reference keeps instances because
+Vulkan's TLAS gives per-instance transforms for free in hardware and its
+scenes could animate; in practice its loader bakes one static scene and the
+TLAS rebuild per frame is pure overhead.  On TPU an instance level would put
+a per-hit 4x4 transform + a two-level traversal in the hot kernels and make
+shapes dynamic with instance count.  Baking to world-space triangle soup at
+load costs duplicated storage for shared meshes (none of the shipped scenes
+share meshes) and requires a scene rebuild (~LBVH sort, <1 s) to move an
+object — the right trade for static production rendering.  Animation support
+would slot in here as a `tri_object` id array + per-object (4x4) transform
+pytree leaf applied in `build_scene` under jit, leaving kernels unchanged.
 """
 
 from __future__ import annotations

@@ -57,3 +57,68 @@ def run_benchmark(args) -> dict:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+
+
+def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
+                       depth: int = 5, ray_batch: int = 65536,
+                       steps: int = 2) -> dict:
+    """Gradient-step throughput at the headline config (BASELINE.json
+    metric: grad-steps/s on Cornell 512^2@64spp): one Adam-less
+    value_and_grad of the MSE against a fixed target through the
+    path-replay-differentiable renderer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..integrator.path_tracer import render_sample
+    from ..scene import load_mitsuba_scene
+    from ..utils.config import RenderConfig
+
+    scene, _ = load_mitsuba_scene(scene_path)
+    cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=depth,
+                       ray_batch=ray_batch, grad_remat="sample")
+    n_pixels = size * size
+    target = jnp.zeros((n_pixels, 3), jnp.float32)
+
+    @jax.jit
+    def grad_step(params, ts):
+        def loss(p):
+            sc = scene.replace(bsdf_params=p)
+            nb = n_pixels // ray_batch
+            pix = jnp.arange(n_pixels, dtype=jnp.uint32).reshape(nb, ray_batch)
+
+            def pix_batch(pb):
+                # sample-level remat: replay across samples, store residuals
+                # within one (see RenderConfig.grad_remat)
+                @jax.checkpoint
+                def body(acc, s):
+                    rad, _ = render_sample(sc, cfg.replace(spp=1), pb, ts + s,
+                                           differentiable=True)
+                    return acc + rad, None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros((ray_batch, 3), jnp.float32),
+                                      jnp.arange(spp, dtype=jnp.uint32))
+                return acc / spp
+
+            img = jax.lax.map(pix_batch, pix).reshape(n_pixels, 3)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    t0 = time.time()
+    _, g = grad_step(scene.bsdf_params, jnp.uint32(0))
+    np.asarray(g)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(steps):
+        t0 = time.time()
+        _, g = grad_step(scene.bsdf_params, jnp.uint32(i + 1))
+        np.asarray(g)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    return {
+        "seconds_per_step": dt,
+        "grad_steps_per_s": 1.0 / dt,
+        "mpaths_per_s_fwd_bwd": n_pixels * spp / dt / 1e6,
+        "compile_seconds": round(compile_s, 1),
+        "size": size, "spp": spp, "max_depth": depth,
+    }

@@ -36,6 +36,12 @@ class RenderConfig:
     # fastest measured on v5e) or "dfs" (gated depth-first walk with dynamic
     # occlusion culling + fused attribute gather)
     bvh_kernel: str = "cluster"
+    # reverse-mode remat granularity for differentiable renders:
+    # "bounce" re-runs each bounce during backward (path replay, minimal
+    # memory); "sample" stores per-bounce residuals within one sample and
+    # replays only across samples (~1.5x faster backward, needs
+    # O(depth x rays) residual memory)
+    grad_remat: str = "bounce"
     # periodic wavefront re-sorting by direction octant + origin Morton key:
     # restores packet coherence for BVH traversal on bounced rays (the EP/
     # queue-compaction analogue, SURVEY.md §2.3); irrelevant to brute force

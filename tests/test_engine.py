@@ -36,3 +36,29 @@ def test_engine_progressive_loop(tmp_path):
     e3.save(str(tmp_path / "out.png"))
     e3.save(str(tmp_path / "out.exr"))
     assert (tmp_path / "out.png").exists() and (tmp_path / "out.exr").exists()
+
+
+def test_cli_view_progressive(tmp_path, cornell_scene):
+    """The headless viewer (reference Window::run analogue) writes previews
+    and a final image."""
+    from gpuspectral_tpu.cli.main import main
+
+    prev = tmp_path / "prev.png"
+    out = tmp_path / "final.png"
+    rc = main([
+        "view", "scenes/cornell/scene.xml", "--size", "16x16", "--depth", "2",
+        "--frames", "4", "--every", "2", "--preview", str(prev),
+        "-o", str(out), "--tonemap", "--ray-batch", "256",
+    ])
+    assert rc == 0
+    assert prev.exists() and out.exists()
+
+
+def test_ansi_preview_renders():
+    import numpy as np
+
+    from gpuspectral_tpu.cli.main import _ansi_preview
+
+    img = np.random.default_rng(0).uniform(0, 2, size=(32, 32, 3)).astype(np.float32)
+    s = _ansi_preview(img, max_rows=8)
+    assert "\x1b[38;2;" in s and s.count("\n") >= 3

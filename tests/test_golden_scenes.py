@@ -1,0 +1,74 @@
+"""Golden-image gates for the BVH-scale reference scenes vs the shipped
+Tungsten ground truths (VERDICT r1 item 6).
+
+Comparison protocol (as the Cornell golden, tests/test_native.py): render at
+low resolution with jitter (pixel-footprint integration), block-mean the
+Tungsten EXR down to match, soft-clamp so tiny ultra-bright regions don't
+dominate, and gate the mean relative error.
+
+Gates are graded by asset completeness: staircase2 ships complete geometry;
+coffee is missing one OBJ (Mesh010) and living-room seven OBJs + a texture
+(absent from the reference repo itself — its loader would throw where we
+warn-and-skip), so their Tungsten images contain geometry we cannot render
+and the gates are correspondingly lenient (they still catch energy-scale,
+camera, and orientation regressions)."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF_SCENES = "/root/reference/src/GPUSpectral/assets/scenes"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_SCENES), reason="reference assets not mounted"
+)
+
+
+def _golden(scene_name, width, height, spp, depth, clamp=2.0):
+    from gpuspectral_tpu.integrator import render_image
+    from gpuspectral_tpu.io.exr import read_exr
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    ref = read_exr(f"{REF_SCENES}/{scene_name}/TungstenRender.exr")
+    fh, fw = ref.shape[0], ref.shape[1]
+    assert fh % height == 0 and fw % width == 0, (ref.shape, width, height)
+    ref_small = ref.reshape(height, fh // height, width, fw // width, 3).mean((1, 3))
+
+    scene, _b = load_mitsuba_scene(f"{REF_SCENES}/{scene_name}/scene.xml")
+    # power light selection + exact MIS: the reference's uniform pick and
+    # its directWeight approximation (rayhit.rchit:786 reuses the NEE
+    # sample's pdf) lose ~2x energy on many-light scenes whose lights span
+    # 4 orders of magnitude in pdf (336 lights here); Tungsten ground truth
+    # needs the consistent estimator
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, max_depth=depth,
+        ray_batch=width * height, use_bvh=True, intersector="woop", jitter=True,
+        light_sampling="power", mis_mode="exact",
+    )
+    img = np.asarray(render_image(scene, cfg))
+    assert np.isfinite(img).all()
+    a = np.minimum(img, clamp)
+    b = np.minimum(ref_small, clamp)
+    rel = np.abs(a - b).mean() / b.mean()
+    return img, ref_small, rel
+
+
+@needs_ref
+def test_golden_staircase2_vs_tungsten():
+    img, ref, rel = _golden("staircase2", 32, 32, spp=16, depth=8)
+    assert rel < 0.25, f"staircase2 relative golden error {rel:.3f}"
+
+
+@needs_ref
+def test_golden_coffee_vs_tungsten():
+    img, ref, rel = _golden("coffee", 20, 25, spp=12, depth=8)
+    # Mesh010.obj missing from the reference assets; lenient gate
+    assert rel < 0.45, f"coffee relative golden error {rel:.3f}"
+
+
+@needs_ref
+def test_golden_living_room_vs_tungsten():
+    img, ref, rel = _golden("living-room", 32, 18, spp=12, depth=8)
+    # 7 OBJs + a texture missing from the reference assets; lenient gate
+    assert rel < 0.5, f"living-room relative golden error {rel:.3f}"

@@ -9,13 +9,15 @@ from gpuspectral_tpu.scene import load_mitsuba_scene
 from gpuspectral_tpu.utils.config import RenderConfig
 from gpuspectral_tpu.integrator.path_tracer import render_sample
 
+remat = sys.argv[5] if len(sys.argv) > 5 else "bounce"
 size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 spp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 depth = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 batch = int(sys.argv[4]) if len(sys.argv) > 4 else 65536
 
 scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
-cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=depth, ray_batch=batch)
+cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=depth, ray_batch=batch,
+                   grad_remat=remat)
 n_pixels = size * size
 target = jnp.zeros((n_pixels, 3), jnp.float32)
 
@@ -26,6 +28,10 @@ def grad_step(params, ts):
         nb = n_pixels // batch
         pix = jnp.arange(n_pixels, dtype=jnp.uint32).reshape(nb, batch)
         def pix_batch(pb):
+            # double remat: the spp scan would otherwise store every bounce
+            # carry per sample (48 GB at 512^2@64spp d5) — path replay
+            # recomputes instead
+            @jax.checkpoint
             def body(acc, s):
                 rad, _ = render_sample(sc, cfg.replace(spp=1), pb, ts + s, differentiable=True)
                 return acc + rad, None
