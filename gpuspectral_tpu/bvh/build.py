@@ -27,7 +27,14 @@ import dataclasses
 
 import numpy as np
 
-LEAF_SIZE = 64
+LEAF_SIZE = 16  # slots per leaf (sah mode: real leaves of <= this, padded)
+
+# Below this many triangles the sah build keeps the triangle arrays dense
+# (fixed-size cuts of the DFS order, no -1 slots): small scenes are served by
+# the brute-force megakernel whose loop bound is the REAL triangle count
+# (integrator/mega.py MEGA_MAX_TRIS), and leaf-AABB tightness only pays on
+# BVH-scale scenes.  Tests exercise slot mode by lowering this.
+SLOT_DENSE_THRESHOLD = 2048
 
 
 def morton_codes(centroids: np.ndarray, bbox_min, bbox_max) -> np.ndarray:
@@ -56,16 +63,29 @@ class BVH:
 
     node_min: np.ndarray  # (2C-1, 3) implicit-tree AABB minima
     node_max: np.ndarray  # (2C-1, 3)
-    perm: np.ndarray  # (T,) permutation: sorted position -> original tri id
+    # slot -> original tri id; -1 marks an empty padding slot (sah mode pads
+    # every variable-size leaf to exactly leaf_size slots).  Length is
+    # C*leaf_size in sah mode, T in morton mode (no -1 entries there).
+    perm: np.ndarray
     n_clusters: int  # C (power of two)
+    n_clusters_real: int  # leaves actually holding triangles (<= C)
     leaf_size: int
     n_levels: int  # tree depth (root = level 0)
 
 
-def build_bvh(tri_pos: np.ndarray, num_tris: int, leaf_size: int = LEAF_SIZE) -> BVH:
+def build_bvh(
+    tri_pos: np.ndarray,
+    num_tris: int,
+    leaf_size: int = LEAF_SIZE,
+    order: str = "sah",
+) -> BVH:
     """tri_pos: (T,3,3) padded triangle array; only the first num_tris are
     real.  Returns the BVH plus the permutation that must be applied to all
     per-triangle scene arrays (pad triangles sort to the end).
+
+    order: "sah" (binned-SAH DFS preorder, bvh/sah.py — default; measured
+    ~4x fewer cluster votes per ray than Morton on staircase2) or "morton"
+    (classic LBVH centroid sort).
     """
     t_total = tri_pos.shape[0]
     real = tri_pos[:num_tris]
@@ -76,31 +96,71 @@ def build_bvh(tri_pos: np.ndarray, num_tris: int, leaf_size: int = LEAF_SIZE) ->
             node_max=np.full((1, 3), -np.inf, np.float32),
             perm=np.arange(t_total),
             n_clusters=1,
+            n_clusters_real=1,
             leaf_size=leaf_size,
             n_levels=1,
         )
 
-    centroids = real.mean(axis=1)
-    bb_min = real.min(axis=(0, 1))
-    bb_max = real.max(axis=(0, 1))
-    codes = morton_codes(centroids, bb_min, bb_max)
-    order = np.argsort(codes, kind="stable")
+    if order == "sah":
+        # Real SAH leaves, slot-padded: each variable-size leaf (<= leaf_size
+        # tris) occupies exactly leaf_size slots; unused slots carry -1 in the
+        # permutation (scene packing gives them degenerate all-zero Woop rows
+        # that can never hit).  Fixed-size cuts of the DFS order measure
+        # ~5-10x more slab votes per ray than the true leaves (staircase2),
+        # so the padding buys its memory back many times over in culling.
+        from .sah import sah_leaves
 
-    # full permutation: sorted real triangles first, padding after
-    perm = np.concatenate([order, np.arange(num_tris, t_total)])
+        tri_order, sizes = sah_leaves(real, num_tris, leaf_target=leaf_size)
+        if num_tris <= SLOT_DENSE_THRESHOLD:
+            # dense mode: fixed cuts of the SAH order, original array length
+            perm = np.concatenate([tri_order, np.arange(num_tris, t_total)])
+            n_clusters_real = -(-num_tris // leaf_size)
+            n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
+            sorted_tris = real[tri_order]
+            cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
+            cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
+            for c in range(n_clusters_real):
+                chunk = sorted_tris[c * leaf_size : (c + 1) * leaf_size]
+                cluster_min[c] = chunk.min(axis=(0, 1))
+                cluster_max[c] = chunk.max(axis=(0, 1))
+        else:
+            n_clusters_real = len(sizes)
+            n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
+            slots = n_clusters * leaf_size
+            perm = np.full(slots, -1, np.int64)
+            starts = np.concatenate([[0], np.cumsum(sizes)])
+            for c in range(n_clusters_real):
+                s0, s1 = starts[c], starts[c + 1]
+                perm[c * leaf_size : c * leaf_size + (s1 - s0)] = tri_order[s0:s1]
 
-    n_clusters_real = -(-num_tris // leaf_size)
-    n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
+            cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
+            cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
+            for c in range(n_clusters_real):
+                chunk = real[tri_order[starts[c] : starts[c + 1]]]
+                cluster_min[c] = chunk.min(axis=(0, 1))
+                cluster_max[c] = chunk.max(axis=(0, 1))
+    else:
+        centroids = real.mean(axis=1)
+        bb_min = real.min(axis=(0, 1))
+        bb_max = real.max(axis=(0, 1))
+        codes = morton_codes(centroids, bb_min, bb_max)
+        tri_order = np.argsort(codes, kind="stable")
 
-    # per-cluster AABBs over the *sorted* triangle order; empty/pad clusters
-    # get inverted boxes that fail every slab test
-    sorted_tris = real[order]
-    cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
-    cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
-    for c in range(n_clusters_real):
-        chunk = sorted_tris[c * leaf_size : (c + 1) * leaf_size]
-        cluster_min[c] = chunk.min(axis=(0, 1))
-        cluster_max[c] = chunk.max(axis=(0, 1))
+        # full permutation: sorted real triangles first, padding after
+        perm = np.concatenate([tri_order, np.arange(num_tris, t_total)])
+
+        n_clusters_real = -(-num_tris // leaf_size)
+        n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
+
+        # per-cluster AABBs over the *sorted* triangle order; empty/pad
+        # clusters get inverted boxes that fail every slab test
+        sorted_tris = real[tri_order]
+        cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
+        cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
+        for c in range(n_clusters_real):
+            chunk = sorted_tris[c * leaf_size : (c + 1) * leaf_size]
+            cluster_min[c] = chunk.min(axis=(0, 1))
+            cluster_max[c] = chunk.max(axis=(0, 1))
 
     # implicit complete binary tree: leaves at [n_clusters-1, 2*n_clusters-1)
     n_nodes = 2 * n_clusters - 1
@@ -117,6 +177,7 @@ def build_bvh(tri_pos: np.ndarray, num_tris: int, leaf_size: int = LEAF_SIZE) ->
         node_max=node_max,
         perm=perm,
         n_clusters=n_clusters,
+        n_clusters_real=n_clusters_real,
         leaf_size=leaf_size,
         n_levels=int(np.log2(n_clusters)) + 1,
     )

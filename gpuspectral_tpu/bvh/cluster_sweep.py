@@ -37,12 +37,14 @@ _BIG = 1e30
 # not the physical VMEM size; the sweep wants the woop table + per-lane best
 # planes + hoisted ray broadcasts resident.
 _VMEM_LIMIT = 100 * 1024 * 1024
-BLOCK = 1024  # rays per grid step (sublane-major; intermediates are (B, 128))
+BLOCK = 256  # rays per grid step (sublane-major; intermediates are (B, 128)).
+# Small blocks are the whole game: the vote union over B sorted rays grows
+# ~logarithmically in B (measured staircase2: 27 leaf votes at B=128 vs 86 at
+# B=1024 for bounce rays), so smaller blocks test far fewer slots per ray.
 LANE = 128
 MAX_SUPERNODES = 1024
-LEAF = 64  # triangles per cluster (bvh/build.py leaf_size)
-SWEEP = 128  # triangles per gated test: dynamic lane slices must be 128 wide,
-#              so the sweep visits clusters in Morton-adjacent pairs
+SWEEP = 128  # triangle slots per gated test: dynamic lane slices must be 128
+#              wide, so the sweep visits SWEEP/leaf_size adjacent clusters
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +130,20 @@ def _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz):
 
 
 def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
-                          t_out, prim_out, u_out, v_out,
-                          rays_s, bt_s, bp_s, bu_s, bv_s,
-                          *, n_super, k_clusters):
+                          attr_ref,
+                          t_out, prim_out, u_out, v_out, attr_out,
+                          rays_s, bt_s, bp_s, bu_s, bv_s, attrp_s,
+                          *, n_super, super_stride, n_sweeps, n_attr):
     """Per-lane best tracking: every (ray, lane) slot keeps the closest hit
     seen in that lane position across all swept leaves (elementwise min —
     no cross-lane work in the loop); ONE argmin per block at the end folds
     the 128 lane-candidates per ray.  Ties resolve to the lowest prim id
-    (lanes are Morton==prim order), matching the brute-force first-wins."""
+    (lanes are DFS==prim order), matching the brute-force first-wins.
+
+    When n_attr > 0, the fused shading-attribute rows (dfs_sweep._attr_table)
+    ride the sweep: per improving hit each attr plane selects its lane value,
+    and the final fold emits (B, n_attr) — the whole-table XLA gather this
+    replaces measured ~20 ms per 65536 rays on v5e, 4x the sweep itself."""
     _broadcast_rays(o_ref, d_ref, rays_s)
     # per-lane running state: t init at per-ray tmax (inactive rays carry
     # tmax=-BIG, so they can never record a hit)
@@ -154,16 +162,19 @@ def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
             lane = jax.lax.broadcasted_iota(jnp.int32, (bt_s.shape[0], SWEEP), 1)
 
             def leaf(k, c2):
-                off = (s * k_clusters) * LEAF + k * SWEEP
+                off = s * super_stride + k * SWEEP
                 t, u, v, ok = _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz)
                 hit = ok & (t > tmin_b) & (t < bt_s[:, :])
                 bt_s[:, :] = jnp.where(hit, t, bt_s[:, :])
                 bu_s[:, :] = jnp.where(hit, u, bu_s[:, :])
                 bv_s[:, :] = jnp.where(hit, v, bv_s[:, :])
                 bp_s[:, :] = jnp.where(hit, off + lane, bp_s[:, :])
+                for a in range(n_attr):
+                    row = attr_ref[a, pl.ds(pl.multiple_of(off, SWEEP), SWEEP)][None, :]
+                    attrp_s[a] = jnp.where(hit, row, attrp_s[a])
                 return c2
 
-            jax.lax.fori_loop(0, k_clusters // 2, leaf, 0)
+            jax.lax.fori_loop(0, n_sweeps, leaf, 0)
         return carry
 
     jax.lax.fori_loop(0, n_super, supernode, 0)
@@ -182,11 +193,14 @@ def _sweep_closest_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
     prim_out[:, :] = jnp.where(found, prim, -1)
     u_out[:, :] = jnp.where(found, u_best, 0.0)
     v_out[:, :] = jnp.where(found, v_best, 0.0)
+    for a in range(n_attr):
+        val = jnp.sum(jnp.where(first, attrp_s[a], 0.0), axis=1, keepdims=True)
+        attr_out[:, a : a + 1] = jnp.where(found, val, 0.0)
 
 
 def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
                       occ_out, rays_s, occ_s,
-                      *, n_super, k_clusters):
+                      *, n_super, super_stride, n_sweeps):
     """Any-hit: per-lane occlusion mask accumulated elementwise; one
     cross-lane fold per block at the end."""
     _broadcast_rays(o_ref, d_ref, rays_s)
@@ -203,13 +217,13 @@ def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
             tmin_b, tmax_b = rays_s[6], rays_s[7]
 
             def leaf(k, c2):
-                off = (s * k_clusters) * LEAF + k * SWEEP
+                off = s * super_stride + k * SWEEP
                 t, _u, _v, ok = _woop_sweep(woop_ref, off, ox, oy, oz, dx, dy, dz)
                 hit = ok & (t > tmin_b) & (t < tmax_b)
                 occ_s[:, :] = jnp.where(hit, 1, occ_s[:, :])
                 return c2
 
-            jax.lax.fori_loop(0, k_clusters // 2, leaf, 0)
+            jax.lax.fori_loop(0, n_sweeps, leaf, 0)
         return carry
 
     jax.lax.fori_loop(0, n_super, supernode, 0)
@@ -221,28 +235,45 @@ def _sweep_any_kernel(votes_ref, o_ref, d_ref, tmin_ref, tmax_ref, woop_ref,
 # ---------------------------------------------------------------------------
 
 
-def _supernode_tables(node_min, node_max, n_clusters: int, padded_tris: int):
-    """(blo (3,Sp), bhi (3,Sp), woop-pad count, S, K): group the LBVH's leaf
-    clusters (Morton-contiguous) into S <= MAX_SUPERNODES supernodes of K
-    clusters and reduce their AABBs.  Padding supernodes get inverted bounds
-    (never hit)."""
+def _supernode_tables(node_min, node_max, n_clusters: int, padded_tris: int,
+                      leaf_size: int):
+    """(blo (3,Sp), bhi (3,Sp), woop-pad count, S, K): group the BVH's leaf
+    clusters (DFS-contiguous) into S <= MAX_SUPERNODES supernodes of K
+    clusters and reduce their AABBs.  K*leaf_size is kept a multiple of SWEEP
+    so every supernode is a whole number of 128-slot sweeps.
+
+    Padding supernodes must NEVER vote.  Inverted bounds (+BIG lo / -BIG hi)
+    do NOT work for that: the slab test's per-axis min/max turns them into
+    [tmin, +huge] windows that pass for every ray — with the slot-padded SAH
+    build up to a third of all supernodes are padding, and each false vote
+    costs a full 128-slot sweep per block (measured 186 of 512 supernodes
+    voting on staircase2 bounce rays where the true union is ~30).  Padding
+    boxes are therefore distant POINT boxes with distinct per-axis
+    coordinates: t_near = max(axis t's) > t_far = min(axis t's) for every
+    ray that does not pass exactly through the point."""
     first_leaf = n_clusters - 1
     cl_min = node_min[first_leaf : first_leaf + n_clusters]
     cl_max = node_max[first_leaf : first_leaf + n_clusters]
+    align = max(1, SWEEP // leaf_size)
     k = -(-n_clusters // MAX_SUPERNODES)
-    k = k + (k & 1)  # even: the sweep tests clusters in pairs (128-wide)
+    k = -(-k // align) * align
     s = -(-n_clusters // k)
     pad_cl = s * k - n_clusters
     if pad_cl:
-        cl_min = jnp.concatenate([cl_min, jnp.full((pad_cl, 3), _BIG)], axis=0)
-        cl_max = jnp.concatenate([cl_max, jnp.full((pad_cl, 3), -_BIG)], axis=0)
+        cl_min = jnp.concatenate([cl_min, jnp.full((pad_cl, 3), jnp.inf)], axis=0)
+        cl_max = jnp.concatenate([cl_max, jnp.full((pad_cl, 3), -jnp.inf)], axis=0)
     sn_min = cl_min.reshape(s, k, 3).min(axis=1)
     sn_max = cl_max.reshape(s, k, 3).max(axis=1)
     sp = -(-s // LANE) * LANE
     if sp != s:
-        sn_min = jnp.concatenate([sn_min, jnp.full((sp - s, 3), _BIG)], axis=0)
-        sn_max = jnp.concatenate([sn_max, jnp.full((sp - s, 3), -_BIG)], axis=0)
-    tri_needed = s * k * LEAF
+        sn_min = jnp.concatenate([sn_min, jnp.full((sp - s, 3), jnp.inf)], axis=0)
+        sn_max = jnp.concatenate([sn_max, jnp.full((sp - s, 3), -jnp.inf)], axis=0)
+    # all-padding supernodes (non-finite after the reduction) -> far point box
+    far = jnp.asarray([2e8, 3e8, 4e8], jnp.float32)
+    invalid = ~jnp.isfinite(sn_min[:, 0:1]) | (sn_min[:, 0:1] > sn_max[:, 0:1])
+    sn_min = jnp.where(invalid, far, sn_min)
+    sn_max = jnp.where(invalid, far, sn_max)
+    tri_needed = s * k * leaf_size
     return sn_min.T, sn_max.T, max(0, tri_needed - padded_tris), s, k
 
 
@@ -267,7 +298,7 @@ def _pad_rays(origin, direction, t_min, t_max):
 def _prepare(scene, origin, direction, t_min, t_max, interpret=False):
     blo, bhi, woop_pad, s, k = _supernode_tables(
         scene.bvh_node_min, scene.bvh_node_max, scene.bvh_clusters,
-        scene.tri_woop_t.shape[1],
+        scene.tri_woop_t.shape[1], scene.bvh_leaf_size,
     )
     woop_t = scene.tri_woop_t
     if woop_pad:
@@ -292,6 +323,7 @@ def _prepare(scene, origin, direction, t_min, t_max, interpret=False):
         ],
         out_specs=pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * 8, sp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(origin, direction, t_min[:, None], t_max[:, None], blo, bhi)
     return woop_t, votes, origin, direction, t_min, t_max, nb, r, s, k, sp
@@ -300,7 +332,7 @@ def _prepare(scene, origin, direction, t_min, t_max, interpret=False):
 def cluster_closest(scene, origin, direction, active=None, interpret=False):
     """Closest hit via the cluster sweep.  Same contract as
     bvh.traverse.intersect_closest_bvh: (t, prim, u, v), prim == -1 on miss,
-    indices into the Morton-sorted triangle arrays."""
+    indices into the DFS-sorted triangle slot arrays."""
     r = origin.shape[0]
     t_max = jnp.full((r,), _BIG, jnp.float32)
     if active is not None:
@@ -308,19 +340,32 @@ def cluster_closest(scene, origin, direction, active=None, interpret=False):
     return cluster_closest_tmax(scene, origin, direction, t_max, interpret)
 
 
-def cluster_closest_tmax(scene, origin, direction, t_max, interpret=False):
-    """cluster_closest with an explicit per-ray t_max (inactive = -BIG)."""
+def cluster_closest_tmax(scene, origin, direction, t_max, interpret=False,
+                         attr=None):
+    """cluster_closest with an explicit per-ray t_max (inactive = -BIG).
+
+    attr: optional (A, S) fused attribute table (dfs_sweep._attr_table) to
+    gather in-kernel; when given, returns (t, prim, u, v, attrs (R, A))."""
     r = origin.shape[0]
     t_min = jnp.zeros((r,), jnp.float32)
     woop_t, votes, origin, direction, t_min, t_max, nb, r0, s, k, sp = _prepare(
         scene, origin, direction, t_min, t_max, interpret
     )
+    n_attr = 0 if attr is None else int(attr.shape[0])
+    attr_t = jnp.zeros((1, woop_t.shape[1]), jnp.float32) if attr is None else attr
+    if attr_t.shape[1] != woop_t.shape[1]:  # match woop alignment padding
+        attr_t = jnp.concatenate(
+            [attr_t, jnp.zeros((attr_t.shape[0], woop_t.shape[1] - attr_t.shape[1]),
+                               attr_t.dtype)], axis=1)
+    a_pad = max(8, -(-n_attr // 8) * 8)
 
     spec_r3 = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_r1 = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out1 = lambda dt: jax.ShapeDtypeStruct((nb * BLOCK, 1), dt)
-    t, prim, u, v = pl.pallas_call(
-        partial(_sweep_closest_kernel, n_super=s, k_clusters=k),
+    leaf = scene.bvh_leaf_size
+    t, prim, u, v, attrs = pl.pallas_call(
+        partial(_sweep_closest_kernel, n_super=s, super_stride=k * leaf,
+                n_sweeps=k * leaf // SWEEP, n_attr=n_attr),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -329,21 +374,29 @@ def cluster_closest_tmax(scene, origin, direction, t_max, interpret=False):
             spec_r1,
             spec_r1,
             pl.BlockSpec(woop_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[spec_r1, spec_r1, spec_r1, spec_r1],
-        out_shape=[out1(jnp.float32), out1(jnp.int32), out1(jnp.float32), out1(jnp.float32)],
+        out_specs=[spec_r1, spec_r1, spec_r1, spec_r1,
+                   pl.BlockSpec((BLOCK, a_pad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[out1(jnp.float32), out1(jnp.int32), out1(jnp.float32),
+                   out1(jnp.float32),
+                   jax.ShapeDtypeStruct((nb * BLOCK, a_pad), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((7, BLOCK, SWEEP), jnp.float32),  # o,d,tmin broadcasts
             pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best t
             pltpu.VMEM((BLOCK, SWEEP), jnp.int32),  # per-lane best prim
             pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best u
             pltpu.VMEM((BLOCK, SWEEP), jnp.float32),  # per-lane best v
+            pltpu.VMEM((max(1, n_attr), BLOCK, SWEEP), jnp.float32),  # attrs
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t)
+    )(votes, origin, direction, t_min[:, None], t_max[:, None], woop_t, attr_t)
     flat = lambda x: x.reshape(-1)[:r0]
-    return flat(t), flat(prim), flat(u), flat(v)
+    if attr is None:
+        return flat(t), flat(prim), flat(u), flat(v)
+    return flat(t), flat(prim), flat(u), flat(v), attrs[:r0, :n_attr]
 
 
 def cluster_any(scene, origin, direction, t_min, t_max, active=None, interpret=False):
@@ -358,8 +411,10 @@ def cluster_any(scene, origin, direction, t_min, t_max, active=None, interpret=F
     )
     spec_r3 = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_r1 = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    leaf = scene.bvh_leaf_size
     occ = pl.pallas_call(
-        partial(_sweep_any_kernel, n_super=s, k_clusters=k),
+        partial(_sweep_any_kernel, n_super=s, super_stride=k * leaf,
+                n_sweeps=k * leaf // SWEEP),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, sp), lambda i: (i, 0), memory_space=pltpu.SMEM),

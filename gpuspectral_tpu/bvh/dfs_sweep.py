@@ -62,19 +62,21 @@ _META_TWOFACED = float(1 << 23)
 # ---------------------------------------------------------------------------
 
 
-def build_dfs_tables(node_min, node_max, n_clusters: int, num_tris: int,
+def build_dfs_tables(node_min, node_max, n_clusters: int, real_clusters: int,
                      leaf_size: int = LEAF):
     """Flatten the implicit complete binary tree (bvh/build.py) into preorder
-    arrays with skip pointers, pruning padding subtrees (clusters past the
-    real triangle range have inverted bounds and can never hit).
+    arrays with skip pointers, pruning padding subtrees (clusters past
+    `real_clusters` have inverted bounds and can never hit).
 
     Returns (bounds (6, N) f32, meta (2, N) i32) with meta[0] = skip index
-    (preorder position after the node's subtree) and meta[1] = first-triangle
-    offset for leaf nodes, -1 for internal nodes.  Leaves cover 2 clusters
-    (= SWEEP triangles)."""
+    (preorder position after the node's subtree) and meta[1] = first-slot
+    offset for leaf nodes, -1 for internal nodes.  A DFS leaf covers
+    SWEEP/leaf_size clusters (= SWEEP triangle slots, the lane-aligned sweep
+    width)."""
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
-    real_clusters = max(1, -(-num_tris // leaf_size))
+    real_clusters = max(1, real_clusters)
+    leaf_span = max(2, SWEEP // leaf_size)
     out_lo, out_hi, out_skip, out_leaf = [], [], [], []
 
     if n_clusters == 1:
@@ -93,7 +95,7 @@ def build_dfs_tables(node_min, node_max, n_clusters: int, num_tris: int,
             out_lo.append(node_min[heap])
             out_hi.append(node_max[heap])
             out_skip.append(0)  # patched below
-            if hi - lo == 2:
+            if hi - lo <= leaf_span:
                 out_leaf.append(lo * leaf_size)
                 size = 1
             else:
@@ -522,12 +524,14 @@ def _dfs_closest_arrays(bounds, meta, woop_t, attr, o, d, t_max):
                          t_min, t_max, nb, r0, n_attr, block, interpret)
 
 
-def _cluster_closest_arrays(bounds, meta, woop_t, attr, o, d, t_max, n_clusters):
+def _cluster_closest_arrays(bounds, meta, woop_t, attr, o, d, t_max, n_clusters,
+                            leaf_size):
     """Linear gated cluster sweep over explicit arrays (bvh/cluster_sweep.py);
     `bounds`/`meta` here are the implicit-tree node AABBs (node_min.T /
     node_max.T packed as (6, 2C-1)).  Returns the same 5-tuple as
-    dfs_closest, with attrs=None (the XLA-side gather is ~free — measured
-    ~2 ms per 65k-ray bounce device-true)."""
+    dfs_closest; when `attr` carries real rows (shape[0] > 1) they are
+    gathered in-kernel riding the sweep — the whole-table XLA fallback
+    measured ~20 ms per 65536 rays on v5e, 4x the sweep itself."""
     import types
 
     from . import cluster_sweep as cs
@@ -536,22 +540,26 @@ def _cluster_closest_arrays(bounds, meta, woop_t, attr, o, d, t_max, n_clusters)
         bvh_node_min=bounds[0:3].T,
         bvh_node_max=bounds[3:6].T,
         bvh_clusters=n_clusters,
+        bvh_leaf_size=leaf_size,
         tri_woop_t=woop_t,
     )
     interpret = jax.default_backend() != "tpu"
+    if attr.shape[0] > 1:
+        return cs.cluster_closest_tmax(sc, o, d, t_max, interpret=interpret,
+                                       attr=attr)
     t, prim, u, v = cs.cluster_closest_tmax(sc, o, d, t_max, interpret=interpret)
     return t, prim, u, v, None
 
 
 @lru_cache(maxsize=None)
 def _make_closest_vjp(statics):
-    kernel, n_clusters = statics
+    kernel, n_clusters, leaf_size = statics
 
     @jax.custom_vjp
     def f(o, d, tm, bounds, meta, woop_t, attr, woop_rows):
         if kernel == "cluster":
             return _cluster_closest_arrays(bounds, meta, woop_t, attr, o, d,
-                                           tm, n_clusters)
+                                           tm, n_clusters, leaf_size)
         return _dfs_closest_arrays(bounds, meta, woop_t, attr, o, d, tm)
 
     def f_fwd(o, d, tm, bounds, meta, woop_t, attr, woop_rows):
@@ -593,14 +601,17 @@ def closest_diff(scene, origin, direction, active=None, kernel="cluster"):
         bounds = jnp.concatenate(
             [scene.bvh_node_min.T, scene.bvh_node_max.T], axis=0)
         meta = jnp.zeros((2, 1), jnp.int32)
-        attr = jnp.zeros((1, scene.tri_woop_t.shape[1]), jnp.float32)
-        f = _make_closest_vjp(("cluster", int(scene.bvh_clusters)))
+        n_attr = fused_attr_rows(scene)
+        attr = (_attr_table(scene, scene.has_textures) if n_attr
+                else jnp.zeros((1, scene.tri_woop_t.shape[1]), jnp.float32))
+        f = _make_closest_vjp(
+            ("cluster", int(scene.bvh_clusters), int(scene.bvh_leaf_size)))
     else:
         bounds, meta = scene.bvh_dfs_bounds, scene.bvh_dfs_meta
         n_attr = fused_attr_rows(scene)
         attr = (_attr_table(scene, scene.has_textures) if n_attr
                 else jnp.zeros((1, scene.tri_woop_t.shape[1]), jnp.float32))
-        f = _make_closest_vjp(("dfs", 0))
+        f = _make_closest_vjp(("dfs", 0, 0))
     return f(origin, direction, t_max, sg(bounds), sg(meta),
              sg(scene.tri_woop_t), sg(attr), sg(scene.tri_woop))
 

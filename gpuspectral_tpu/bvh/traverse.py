@@ -117,9 +117,12 @@ def _traverse_packet(
             )
 
         def do_internal(c, sp):
-            # push both children (near-first ordering would need per-packet
+            # push right child first so the LIFO pop visits the LEFT subtree
+            # first: leaves are then visited in ascending prim order and
+            # exact-t ties resolve to the lowest prim id, matching the
+            # brute-force scan (near-first ordering would need a per-packet
             # vote; plain order is fine for closest-hit thanks to best_t)
-            stack = c["stack"].at[sp].set(2 * node + 1).at[sp + 1].set(2 * node + 2)
+            stack = c["stack"].at[sp].set(2 * node + 2).at[sp + 1].set(2 * node + 1)
             return dict(c, stack=stack, sp=sp + 2)
 
         def visit(c):

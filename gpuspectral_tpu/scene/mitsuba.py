@@ -369,12 +369,17 @@ def _make_sphere(props: _Props, lat: int = 32, lon: int = 64):
 
             p00, p01 = pt(i, j), pt(i, j + 1)
             p10, p11 = pt(i + 1, j), pt(i + 1, j + 1)
+            # wind CCW seen from OUTSIDE (cross(e1, e2) must agree with the
+            # outward shading normals: one-sided area-emitter gating and the
+            # backface tests follow the winding normal — an inside-out sphere
+            # emits inward and its lamp renders black, which is exactly how
+            # this bug originally presented on living-room)
             if i > 0:
-                tris.append([p00 * radius, p10 * radius, p01 * radius])
-                nrms.append([p00, p10, p01])
+                tris.append([p00 * radius, p01 * radius, p10 * radius])
+                nrms.append([p00, p01, p10])
             if i < lat - 1:
-                tris.append([p01 * radius, p10 * radius, p11 * radius])
-                nrms.append([p01, p10, p11])
+                tris.append([p01 * radius, p11 * radius, p10 * radius])
+                nrms.append([p01, p11, p10])
     return (
         np.asarray(tris, np.float32),
         np.asarray(nrms, np.float32),

@@ -25,14 +25,14 @@ seed = rng.pixel_seed(pix, jnp.uint32(0))
 o, d = generate_rays(scene.camera, 512, 512, pix)
 prim_const = jnp.asarray(np.random.default_rng(0).integers(0, scene.num_tris, size=R).astype(np.int32))
 
-def fake_closest(sc, origin, direction, active=None):
+def fake_closest(sc, origin, direction, active=None, kernel=None):
     t = jnp.full((R,), 1.0) + origin[:, 0] * 1e-9
     n_attr = ds.fused_attr_rows(sc)
     row = jnp.zeros((n_attr,), jnp.float32).at[13].set(4096.0).at[2].set(1.0).at[11].set(1.0)
     attrs = jnp.broadcast_to(row, (R, n_attr)) + t[:, None] * 0.0
     return t, prim_const, jnp.full((R,), 0.3), jnp.full((R,), 0.3), attrs
 
-def fake_any(sc, origin, direction, t_min, t_max, active=None):
+def fake_any(sc, origin, direction, t_min, t_max, active=None, kernel=None):
     return jnp.zeros((R,), bool) | (origin[:, 0] > 1e30)
 
 def run_loop(name, cfg, patches=()):
@@ -61,7 +61,8 @@ def run_loop(name, cfg, patches=()):
         for p in patches: p.__exit__(None, None, None)
 
 base = RenderConfig(width=512, height=512, spp=1, max_depth=64, ray_batch=R, use_bvh=True)
-run_loop("full bounce (dfs kernels)", base)
+# dfs kernel variant skipped (slow, non-default)
+# run_loop("full bounce (dfs kernels)", base)
 run_loop("shade only (fake intersect)", base,
          (mock.patch.object(ds, "closest_diff", fake_closest),
           mock.patch.object(ds, "any_nodiff", fake_any)))
@@ -69,11 +70,26 @@ run_loop("shade only, diffuse-only dispatch", base,
          (mock.patch.object(ds, "closest_diff", fake_closest),
           mock.patch.object(ds, "any_nodiff", fake_any),)) if False else None
 # cluster kernels via monkeypatching the imports used in _bounce
-def cluster_closest5(sc, origin, direction, active=None):
+def cluster_closest5(sc, origin, direction, active=None, kernel=None):
     t, p_, u_, v_ = cs.cluster_closest(sc, origin, direction, active=active)
     return t, p_, u_, v_, None
 run_loop("full bounce (cluster kernels)", base,
          (mock.patch.object(ds, "closest_diff", cluster_closest5),
           mock.patch.object(ds, "any_nodiff",
-                            lambda sc, o_, d_, t_min, t_max, active=None:
+                            lambda sc, o_, d_, t_min, t_max, active=None, kernel=None:
+                            cs.cluster_any(sc, o_, d_, t_min, t_max, active=active)),))
+
+# isolate: real closest + fake shadow, fake closest + real shadow
+run_loop("closest only (fake shadow)", base,
+         (mock.patch.object(ds, "closest_diff", cluster_closest5),
+          mock.patch.object(ds, "any_nodiff", fake_any),))
+run_loop("shadow only (fake closest)", base,
+         (mock.patch.object(ds, "closest_diff", fake_closest),
+          mock.patch.object(ds, "any_nodiff",
+                            lambda sc, o_, d_, t_min, t_max, active=None, kernel=None:
+                            cs.cluster_any(sc, o_, d_, t_min, t_max, active=active)),))
+run_loop("full bounce, no shadow sort", base.replace(shadow_sort=False),
+         (mock.patch.object(ds, "closest_diff", cluster_closest5),
+          mock.patch.object(ds, "any_nodiff",
+                            lambda sc, o_, d_, t_min, t_max, active=None, kernel=None:
                             cs.cluster_any(sc, o_, d_, t_min, t_max, active=active)),))
