@@ -251,6 +251,9 @@ def _supernode_tables(node_min, node_max, n_clusters: int, padded_tris: int,
     boxes are therefore distant POINT boxes with distinct per-axis
     coordinates: t_near = max(axis t's) > t_far = min(axis t's) for every
     ray that does not pass exactly through the point."""
+    # a non-divisor leaf_size would silently skip triangle slots at the end
+    # of every supernode (align floors, n_sweeps truncates)
+    assert SWEEP % leaf_size == 0, (SWEEP, leaf_size)
     first_leaf = n_clusters - 1
     cl_min = node_min[first_leaf : first_leaf + n_clusters]
     cl_max = node_max[first_leaf : first_leaf + n_clusters]

@@ -48,7 +48,8 @@ _BIG = 1e30
 _VMEM_LIMIT = 100 * 1024 * 1024
 LANE = 128
 SWEEP = 128  # triangles per leaf sweep (dynamic lane slices must be 128-wide)
-LEAF = 64  # bvh/build.py cluster size; a DFS leaf is a cluster pair
+# (leaf_size is always passed explicitly by callers — the build's LEAF_SIZE
+# is the source of truth; a stale default here was an ADVICE-r2 trap)
 
 # fused attribute rows (see _attr_table): 9 corner-normal + 3 geometric
 # normal + 1 area + 1 packed meta (+6 uv when textured)
@@ -63,7 +64,7 @@ _META_TWOFACED = float(1 << 23)
 
 
 def build_dfs_tables(node_min, node_max, n_clusters: int, real_clusters: int,
-                     leaf_size: int = LEAF):
+                     leaf_size: int):
     """Flatten the implicit complete binary tree (bvh/build.py) into preorder
     arrays with skip pointers, pruning padding subtrees (clusters past
     `real_clusters` have inverted bounds and can never hit).

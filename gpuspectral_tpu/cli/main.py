@@ -29,7 +29,22 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tonemap", action="store_true", help="ACES filmic tonemap for PNG")
     p.add_argument("--seed", type=int, default=0, help="base timestamp / frame seed")
     p.add_argument("--ray-batch", type=int, default=65536)
-    p.add_argument("--bvh", action="store_true", help="use LBVH packet traversal")
+    p.add_argument(
+        "--bvh", action=argparse.BooleanOptionalAction, default=None,
+        help="BVH traversal (default: auto — on above 2048 triangles, where "
+             "the brute-force megakernel stops being the fast path)",
+    )
+    p.add_argument(
+        "--bvh-kernel", default="binned", choices=["binned", "cluster", "dfs"],
+        help="BVH Pallas kernel (binned: per-ray-vote grouped sweeps)",
+    )
+    p.add_argument(
+        "--light-block", type=int, default=None,
+        help="share one NEE light pick per N-lane block (0 disables; "
+             "default: 256 for the block-voted cluster/dfs kernels where it "
+             "collapses shadow vote unions, 0 for binned/brute where "
+             "per-lane picks match the reference exactly)",
+    )
     p.add_argument("--packet-size", type=int, default=1024)
     p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
     p.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
@@ -69,6 +84,20 @@ def _build(args):
             width, height = (int(x) for x in args.size.lower().split("x"))
         except ValueError:
             raise CliError(f"--size expects WxH (e.g. 512x512), got: {args.size}")
+    # auto-BVH: above the megakernel's brute-force ceiling, hierarchical
+    # traversal is mandatory — rendering coffee (168k tris) without it would
+    # silently run an O(N)-per-bounce sweep (round-2 VERDICT footgun)
+    use_bvh = getattr(args, "bvh", None)
+    if use_bvh is None:
+        from ..integrator.mega import MEGA_MAX_TRIS
+
+        use_bvh = scene.num_tris > MEGA_MAX_TRIS
+    bvh_kernel = getattr(args, "bvh_kernel", "binned")
+    light_block = getattr(args, "light_block", None)
+    if light_block is None:
+        # per-ray-vote kernels gain nothing from correlated picks; the
+        # block-voted kernels need them to collapse shadow vote unions
+        light_block = 256 if (use_bvh and bvh_kernel != "binned") else 0
     cfg = RenderConfig(
         width=width,
         height=height,
@@ -77,15 +106,15 @@ def _build(args):
         nee=not args.no_nee,
         jitter=args.jitter,
         ray_batch=args.ray_batch,
-        use_bvh=getattr(args, "bvh", False),
+        use_bvh=use_bvh,
+        bvh_kernel=bvh_kernel,
         packet_size=getattr(args, "packet_size", 1024),
         intersector=getattr(args, "intersector", "auto"),
-        # Morton/octant re-sorting restores block coherence for BVH sweeps
-        # (+14% measured on staircase2); pure overhead for brute force
-        sort_rays=getattr(args, "bvh", False),
-        # shared light pick per traversal block: collapses shadow-ray vote
-        # unions on BVH scenes (unbiased; see RenderConfig.light_block)
-        light_block=256 if getattr(args, "bvh", False) else 0,
+        # Morton/octant re-sorting restores block coherence for the
+        # block-voted sweeps (+14% measured on staircase2); the binned
+        # kernel charges per-ray votes, so sorting is pure overhead there
+        sort_rays=use_bvh and bvh_kernel != "binned",
+        light_block=light_block,
         light_sampling=getattr(args, "light_sampling", "uniform"),
         mis_mode=getattr(args, "mis", "reference"),
     )

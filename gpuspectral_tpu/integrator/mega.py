@@ -58,8 +58,14 @@ BLOCK = SUB * LANES  # rays per grid step (one (8,128) tile per state var)
 
 # The SMEM triangle-attribute table row layout (see _pack_tables)
 _NA = 31
-# Megakernel eligibility: tables must fit SMEM comfortably
+# Megakernel eligibility: tables must fit SMEM comfortably.  Must not exceed
+# bvh/build.SLOT_DENSE_THRESHOLD: above it the SAH build scatters real
+# triangles across padded slots with -1 gaps, and this kernel's
+# fori(0, num_tris) loops would miss them (ADVICE r2).
+from ..bvh.build import SLOT_DENSE_THRESHOLD as _SLOT_DENSE
+
 MEGA_MAX_TRIS = 2048
+assert MEGA_MAX_TRIS <= _SLOT_DENSE, (MEGA_MAX_TRIS, _SLOT_DENSE)
 
 # RNG channel layout — MUST match path_tracer.CH_*
 _CH_BSDF_SELECT = 0
@@ -729,9 +735,12 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             xx = px - width / 2.0
             yy = py - height / 2.0
             inv = jax.lax.rsqrt(xx * xx + yy * yy + zplane * zplane)
-            dcx, dcy, dcz = -xx * inv, yy * inv, zplane * inv
+            # Mitsuba convention (-xx, -yy, z), no world-y flip — see
+            # scene/camera.py for why the reference's `d_w.y *= -1` rule is
+            # wrong for pitched cameras (identical for level ones)
+            dcx, dcy, dcz = -xx * inv, -yy * inv, zplane * inv
             dwx = r00 * dcx + r01 * dcy + r02 * dcz
-            dwy = -(r10 * dcx + r11 * dcy + r12 * dcz)  # d_world.y *= -1
+            dwy = r10 * dcx + r11 * dcy + r12 * dcz
             dwz = r20 * dcx + r21 * dcy + r22 * dcz
             o = (jnp.zeros_like(dwx) + cox, jnp.zeros_like(dwy) + coy,
                  jnp.zeros_like(dwz) + coz)

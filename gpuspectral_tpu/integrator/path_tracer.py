@@ -214,12 +214,20 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     attrs = None
     if cfg.use_bvh:
         if isector == "pallas":
-            # TPU: gated DFS traversal with fused attribute gather
-            from ..bvh.dfs_sweep import closest_diff
+            if cfg.bvh_kernel == "binned":
+                # TPU default: per-ray-vote binned traversal (bvh/binned.py)
+                from ..bvh.binned import binned_closest_diff
 
-            t, prim, bu, bv, attrs = closest_diff(
-                scene, origin, direction, active=alive, kernel=cfg.bvh_kernel
-            )
+                t, prim, bu, bv, attrs = binned_closest_diff(
+                    scene, origin, direction, active=alive
+                )
+            else:
+                # block-voted gated sweeps (round-2 kernels)
+                from ..bvh.dfs_sweep import closest_diff
+
+                t, prim, bu, bv, attrs = closest_diff(
+                    scene, origin, direction, active=alive, kernel=cfg.bvh_kernel
+                )
         else:
             from ..bvh.traverse import intersect_closest_bvh
 
@@ -418,7 +426,21 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     nee_candidate = cfg.nee & hit & (~delta) & (front_ok | transmission)
 
     if cfg.use_bvh:
-        if isector == "pallas":
+        if isector == "pallas" and cfg.bvh_kernel == "binned":
+            # per-ray votes: block coherence is irrelevant, no shadow sort.
+            # Visibility is a step function (zero gradient a.e.)
+            from ..bvh.binned import binned_any
+
+            sg = jax.lax.stop_gradient
+            shadowed = binned_any(
+                scene,
+                sg(position),
+                sg(ldir),
+                t_min=cfg.shadow_epsilon,
+                t_max=sg(ldist - cfg.shadow_epsilon),
+                active=nee_candidate,
+            )
+        elif isector == "pallas":
             from ..bvh.dfs_sweep import any_nodiff
 
             if cfg.shadow_sort:
@@ -428,7 +450,16 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
                 # ENDPOINT-major (the sampled light point) + origin packs
                 # rays into beams toward one light region: measured 1.8x
                 # fewer supernode votes per block on staircase2.
-                skey = _segment_sort_key(scene, position, light_pos, nee_candidate)
+                # Env-picked lanes aim at env_dir, not light_pos (ADVICE r2):
+                # use a far point along the actual shadow direction so their
+                # sort endpoint matches where the segment goes.
+                endpoint = light_pos
+                if scene.has_envmap and cfg.nee:
+                    diag = m3.length(scene.bvh_node_max[0] - scene.bvh_node_min[0])
+                    endpoint = jnp.where(
+                        env_pick[..., None], position + ldir * diag, light_pos
+                    )
+                skey = _segment_sort_key(scene, position, endpoint, nee_candidate)
                 order = jnp.argsort(skey)
                 occ_s = any_nodiff(
                     scene,

@@ -1,12 +1,23 @@
 """Pinhole camera ray generation.
 
-Exact behavior spec from the reference raygen shader (raygen.rgen:20-35):
+Behavior spec from the reference raygen shader (raygen.rgen:20-35), with one
+deliberate correction.  The reference computes
 
-    xy  = fragCoord - size/2
-    z   = (max(size.x, size.y)/2) / tan(fov/2)
-    d_c = normalize(-xy.x, xy.y, z)
-    d_w = (to_world @ vec4(d_c, 0)).xyz ;  d_w.y *= -1
-    origin = to_world[:,3]
+    d_c = normalize(-xy.x, xy.y, z);  d_w = (to_world @ d_c).xyz;  d_w.y *= -1
+
+i.e. it flips the *world* y of the finished direction.  For level cameras
+(every scene its demo app ever renders: cornell-box, staircase2, test3 all
+have to_world[1,2] == 0) that is identical to the Mitsuba convention; for a
+PITCHED camera it negates the pitch — the camera looks up where the scene
+author pointed it down.  coffee (pitch -0.039) and living-room (-0.029)
+render ~4.5 deg vertically shifted against their Tungsten ground truths
+under the reference's rule (measured rel error 1.04 -> 0.43 on the coffee
+golden from this one sign).  We therefore use the Mitsuba convention the
+ground truths were rendered with:
+
+    d_c = normalize(-xy.x, -xy.y, z);  d_w = to_world[:3,:3] @ d_c
+
+which is bit-identical to the reference for level, roll-free cameras.
 
 fragCoord has (0,0) at the top-left pixel (Vulkan launch-ID convention) and
 the reference samples at integer pixel coordinates (no subpixel jitter —
@@ -35,7 +46,7 @@ def generate_rays(cam: CameraData, width: int, height: int, pixel_index, jitter_
     xy_y = py - height / 2.0
     z = (max(width, height) / 2.0) / jnp.tan(cam.fov / 2.0)
     d_cam = m3.normalize(
-        jnp.stack([-xy_x, xy_y, jnp.broadcast_to(z, xy_x.shape)], axis=-1)
+        jnp.stack([-xy_x, -xy_y, jnp.broadcast_to(z, xy_x.shape)], axis=-1)
     )
     # Explicit component products, NOT a (R,3)@(3,3) matmul: on TPU the MXU's
     # default f32 precision is bfloat16 passes, which quantizes ray directions
@@ -45,7 +56,7 @@ def generate_rays(cam: CameraData, width: int, height: int, pixel_index, jitter_
     d_world = jnp.stack(
         [
             r[0, 0] * dx + r[0, 1] * dy + r[0, 2] * dz,
-            -(r[1, 0] * dx + r[1, 1] * dy + r[1, 2] * dz),
+            r[1, 0] * dx + r[1, 1] * dy + r[1, 2] * dz,
             r[2, 0] * dx + r[2, 1] * dy + r[2, 2] * dz,
         ],
         axis=-1,

@@ -102,6 +102,9 @@ class SceneData:
     # preorder DFS flattening with skip pointers (bvh/dfs_sweep.py)
     bvh_dfs_bounds: jax.Array  # (6,N) f32: rows 0-2 lo, 3-5 hi
     bvh_dfs_meta: jax.Array  # (2,N) i32: [skip idx, leaf tri offset | -1]
+    # binned-wavefront traversal tables (bvh/binned.py): bin AABBs, padded to
+    # a 32-bin word multiple with never-hit sentinels
+    bvh_bin_bounds: jax.Array  # (6, 32*ceil(bins/32)) f32
     camera: CameraData
     # static metadata
     num_tris: int = dataclasses.field(metadata=dict(static=True))
@@ -109,6 +112,8 @@ class SceneData:
     bvh_clusters: int = dataclasses.field(metadata=dict(static=True))
     bvh_leaf_size: int = dataclasses.field(metadata=dict(static=True))
     bvh_levels: int = dataclasses.field(metadata=dict(static=True))
+    bvh_bins: int = dataclasses.field(metadata=dict(static=True))
+    bvh_bin_slots: int = dataclasses.field(metadata=dict(static=True))
     # which BSDF kinds actually occur (static): the dispatch only computes
     # these branches — a scene-specialized integrator compile
     kinds_present: tuple = dataclasses.field(metadata=dict(static=True))
@@ -300,6 +305,13 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh.leaf_size,
     )
 
+    from ..bvh.binned import build_bins
+
+    bin_bounds, n_bins, bin_slots = build_bins(
+        bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
+        bvh.leaf_size,
+    )
+
     if b.light_pos:
         lpos = np.concatenate(b.light_pos)
         lemit = np.concatenate(b.light_emission)
@@ -389,6 +401,7 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh_node_max=jnp.asarray(bvh.node_max),
         bvh_dfs_bounds=jnp.asarray(dfs_bounds),
         bvh_dfs_meta=jnp.asarray(dfs_meta),
+        bvh_bin_bounds=jnp.asarray(bin_bounds),
         camera=CameraData(
             to_world=jnp.asarray(b.cam_to_world, jnp.float32),
             fov=jnp.asarray(b.cam_fov, jnp.float32),
@@ -398,6 +411,8 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh_clusters=bvh.n_clusters,
         bvh_leaf_size=bvh.leaf_size,
         bvh_levels=bvh.n_levels,
+        bvh_bins=n_bins,
+        bvh_bin_slots=bin_slots,
         kinds_present=tuple(sorted(set(int(k) for k in kinds))),
         has_textures=bool(b.textures),
         has_envmap=b.envmap_image is not None,

@@ -3,10 +3,14 @@
 Covers exactly the plugin surface the reference consumes through
 TinyParser-Mitsuba (engine/Loader.cpp:145-234,253-349):
 
-  shapes     obj | rectangle | cube | disk        (Loader.cpp:272-279)
+  shapes     obj | rectangle | cube | disk | sphere  (Loader.cpp:272-279;
+             sphere is beyond the reference's set)
   bsdfs      twosided | diffuse | roughplastic | dielectric | conductor |
              plastic | roughconductor             (Loader.cpp:147-227)
   emitters   area (per-shape)                     (Loader.cpp:301-307)
+             envmap | constant — loaded AND shaded on ray miss with
+             importance-sampled NEE (integrator/envmap.py), a capability
+             the reference stubs (Loader.cpp:338-346, miss.rmiss:15-18)
   sensor     perspective (fov, to_world)          (Loader.cpp:331-337)
   film       width/height; sampler sample_count; integrator max_depth
              (parsed — the reference parses but ignores these; we honor them)
@@ -14,8 +18,6 @@ TinyParser-Mitsuba (engine/Loader.cpp:145-234,253-349):
 Property names are normalized camelCase -> snake_case the way
 TinyParser-Mitsuba does ("intIOR" -> "int_ior"), and `<ref id=.../>`
 resolution + nested-bsdf recursion match the reference loader.
-Envmap emitters are accepted but ignored (stubbed in the reference too,
-Loader.cpp:338-346).
 """
 
 from __future__ import annotations
