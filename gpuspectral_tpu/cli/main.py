@@ -35,8 +35,9 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
              "the brute-force megakernel stops being the fast path)",
     )
     p.add_argument(
-        "--bvh-kernel", default="binned", choices=["binned", "cluster", "dfs"],
-        help="BVH Pallas kernel (binned: per-ray-vote grouped sweeps)",
+        "--bvh-kernel", default="ftb",
+        choices=["ftb", "binned", "cluster", "dfs"],
+        help="BVH Pallas kernel (ftb: front-to-back per-ray-vote traversal)",
     )
     p.add_argument(
         "--light-block", type=int, default=None,
@@ -92,12 +93,13 @@ def _build(args):
         from ..integrator.mega import MEGA_MAX_TRIS
 
         use_bvh = scene.num_tris > MEGA_MAX_TRIS
-    bvh_kernel = getattr(args, "bvh_kernel", "binned")
+    bvh_kernel = getattr(args, "bvh_kernel", "ftb")
     light_block = getattr(args, "light_block", None)
     if light_block is None:
-        # per-ray-vote kernels gain nothing from correlated picks; the
-        # block-voted kernels need them to collapse shadow vote unions
-        light_block = 256 if (use_bvh and bvh_kernel != "binned") else 0
+        # per-ray-vote kernels still sweep the BLOCK's bin union, so
+        # correlated picks collapse shadow unions for every kernel; keep
+        # per-lane (reference-exact) picks only for brute force
+        light_block = 256 if use_bvh else 0
     cfg = RenderConfig(
         width=width,
         height=height,
@@ -110,10 +112,10 @@ def _build(args):
         bvh_kernel=bvh_kernel,
         packet_size=getattr(args, "packet_size", 1024),
         intersector=getattr(args, "intersector", "auto"),
-        # Morton/octant re-sorting restores block coherence for the
-        # block-voted sweeps (+14% measured on staircase2); the binned
-        # kernel charges per-ray votes, so sorting is pure overhead there
-        sort_rays=use_bvh and bvh_kernel != "binned",
+        # Morton/octant re-sorting restores block coherence: all BVH
+        # kernels iterate the block's bin union, so coherent blocks mean
+        # fewer front-to-back rounds
+        sort_rays=use_bvh,
         light_block=light_block,
         light_sampling=getattr(args, "light_sampling", "uniform"),
         mis_mode=getattr(args, "mis", "reference"),

@@ -214,8 +214,15 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     attrs = None
     if cfg.use_bvh:
         if isector == "pallas":
-            if cfg.bvh_kernel == "binned":
-                # TPU default: per-ray-vote binned traversal (bvh/binned.py)
+            if cfg.bvh_kernel == "ftb":
+                # TPU default: front-to-back binned traversal (bvh/ftb.py)
+                from ..bvh.ftb import ftb_closest_diff
+
+                t, prim, bu, bv, attrs = ftb_closest_diff(
+                    scene, origin, direction, active=alive
+                )
+            elif cfg.bvh_kernel == "binned":
+                # per-ray-vote binned traversal (bvh/binned.py, round 2.5)
                 from ..bvh.binned import binned_closest_diff
 
                 t, prim, bu, bv, attrs = binned_closest_diff(
@@ -426,20 +433,44 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     nee_candidate = cfg.nee & hit & (~delta) & (front_ok | transmission)
 
     if cfg.use_bvh:
-        if isector == "pallas" and cfg.bvh_kernel == "binned":
-            # per-ray votes: block coherence is irrelevant, no shadow sort.
-            # Visibility is a step function (zero gradient a.e.)
-            from ..bvh.binned import binned_any
+        if isector == "pallas" and cfg.bvh_kernel in ("binned", "ftb"):
+            # Visibility is a step function (zero gradient a.e.).  Votes are
+            # per-ray, but the block-level sweep still iterates the union of
+            # the block's candidate bins, so shadow-segment sorting pays off
+            # for these kernels too (cfg.shadow_sort).
+            if cfg.bvh_kernel == "ftb":
+                from ..bvh.ftb import ftb_any as _any_kernel
+            else:
+                from ..bvh.binned import binned_any as _any_kernel
 
             sg = jax.lax.stop_gradient
-            shadowed = binned_any(
-                scene,
-                sg(position),
-                sg(ldir),
-                t_min=cfg.shadow_epsilon,
-                t_max=sg(ldist - cfg.shadow_epsilon),
-                active=nee_candidate,
-            )
+            if cfg.shadow_sort:
+                endpoint = light_pos
+                if scene.has_envmap and cfg.nee:
+                    diag = m3.length(scene.bvh_node_max[0] - scene.bvh_node_min[0])
+                    endpoint = jnp.where(
+                        env_pick[..., None], position + ldir * diag, light_pos
+                    )
+                skey = _segment_sort_key(scene, position, endpoint, nee_candidate)
+                order = jnp.argsort(skey)
+                occ_s = _any_kernel(
+                    scene,
+                    sg(position)[order],
+                    sg(ldir)[order],
+                    t_min=cfg.shadow_epsilon,
+                    t_max=sg(ldist - cfg.shadow_epsilon)[order],
+                    active=nee_candidate[order],
+                )
+                shadowed = jnp.zeros_like(occ_s).at[order].set(occ_s)
+            else:
+                shadowed = _any_kernel(
+                    scene,
+                    sg(position),
+                    sg(ldir),
+                    t_min=cfg.shadow_epsilon,
+                    t_max=sg(ldist - cfg.shadow_epsilon),
+                    active=nee_candidate,
+                )
         elif isector == "pallas":
             from ..bvh.dfs_sweep import any_nodiff
 

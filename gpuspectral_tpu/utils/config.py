@@ -32,11 +32,12 @@ class RenderConfig:
     # "auto": Pallas fused kernels on TPU, Woop-XLA elsewhere.
     # "pallas" | "woop" | "mt" force a specific implementation.
     intersector: str = "auto"
-    # BVH Pallas kernel: "binned" (per-ray-vote grouped sweeps, bvh/binned.py
-    # — the round-3 default; work per ray is its own vote count instead of a
-    # ray block's union), "cluster" (dense static votes + gated linear
-    # sweep) or "dfs" (gated depth-first walk with dynamic occlusion culling)
-    bvh_kernel: str = "binned"
+    # BVH Pallas kernel: "ftb" (front-to-back per-(ray,bin) entry-distance
+    # traversal with per-lane t-culling, bvh/ftb.py — the round-3 default),
+    # "binned" (per-ray-vote grouped sweeps in index order, bvh/binned.py),
+    # "cluster" (dense static votes + gated linear sweep) or "dfs" (gated
+    # depth-first walk with dynamic occlusion culling)
+    bvh_kernel: str = "ftb"
     # reverse-mode remat granularity for differentiable renders:
     # "bounce" re-runs each bounce during backward (path replay, minimal
     # memory); "sample" stores per-bounce residuals within one sample and

@@ -21,7 +21,12 @@ def main():
     from gpuspectral_tpu.utils.jaxcache import enable
 
     enable()
-    from gpuspectral_tpu.bvh.binned import binned_any, binned_closest
+    if os.environ.get("BVH_KERNEL", "binned") == "ftb":
+        from gpuspectral_tpu.bvh.ftb import ftb_any as binned_any
+        from gpuspectral_tpu.bvh.ftb import ftb_closest as binned_closest
+        print("kernel: ftb")
+    else:
+        from gpuspectral_tpu.bvh.binned import binned_any, binned_closest
     from gpuspectral_tpu.scene import load_mitsuba_scene
 
     scene, _ = load_mitsuba_scene(scene_path)
