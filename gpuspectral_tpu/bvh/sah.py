@@ -48,8 +48,22 @@ def sah_leaves(tri_pos: np.ndarray, num_tris: int, leaf_target: int = 64):
 
     tri_pos: (T, 3, 3); only the first num_tris rows are used.
     """
+    order, sizes, _ = sah_cuts(tri_pos, num_tris, leaf_target, 0)
+    return order, sizes
+
+
+def sah_cuts(tri_pos: np.ndarray, num_tris: int, leaf_target: int = 64,
+             bin_target: int = 0):
+    """sah_leaves plus *subtree-cut bins*: return (order, leaf_sizes,
+    bin_sizes) where bin_sizes partitions [0, num_tris) of the DFS order into
+    contiguous runs, each run being a maximal SAH subtree of <= bin_target
+    triangles.  Because a cut node IS a node of the SAH tree, its AABB is as
+    tight as the build could make it — unlike a union of `k` consecutive DFS
+    leaves, which routinely straddles subtree boundaries (measured ~2x looser
+    entry rates on staircase2).  bin_target=0 disables bin recording."""
     if num_tris <= leaf_target:
-        return np.arange(num_tris), np.array([num_tris])
+        return (np.arange(num_tris), np.array([num_tris]),
+                np.array([num_tris] if num_tris else [], np.int64))
 
     pos = np.asarray(tri_pos[:num_tris], np.float64)
     tlo = pos.min(axis=1)  # (N,3) triangle AABBs
@@ -58,12 +72,22 @@ def sah_leaves(tri_pos: np.ndarray, num_tris: int, leaf_target: int = 64):
 
     order_out = np.empty(num_tris, np.int64)
     leaf_sizes = []
+    bin_ends = []  # exclusive end offsets of subtree-cut bins, in DFS order
     out_at = 0
     # explicit stack of index arrays, preorder (left pushed last -> popped first)
     stack = [np.arange(num_tris)]
     while stack:
         idx = stack.pop()
         n = idx.shape[0]
+        # DFS + stack discipline: when a node is popped, everything emitted so
+        # far is exactly the triangles preceding its subtree, so the subtree
+        # will occupy [out_at + pending, ...) — and `pending` is zero because
+        # ancestors' left siblings complete before this node surfaces.  The
+        # first pop at or past the last bin's end therefore starts a new bin.
+        if bin_target and n <= bin_target and out_at >= (
+            bin_ends[-1] if bin_ends else 0
+        ):
+            bin_ends.append(out_at + n)
         if n <= leaf_target:
             order_out[out_at : out_at + n] = idx
             out_at += n
@@ -125,4 +149,10 @@ def sah_leaves(tri_pos: np.ndarray, num_tris: int, leaf_target: int = 64):
         stack.append(left)
 
     assert out_at == num_tris
-    return order_out, np.asarray(leaf_sizes, np.int64)
+    if bin_target:
+        assert leaf_target <= bin_target, (leaf_target, bin_target)
+        assert bin_ends and bin_ends[-1] == num_tris, bin_ends[-3:]
+        bin_sizes = np.diff(np.concatenate([[0], bin_ends]))
+    else:
+        bin_sizes = np.asarray([], np.int64)
+    return order_out, np.asarray(leaf_sizes, np.int64), bin_sizes

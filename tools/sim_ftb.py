@@ -121,3 +121,13 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def group_rounds(tn, t_final, g):
+    """ftb rounds when the 128-ray block is split into groups of g rays,
+    each picking its own bin per round (block time = max over groups)."""
+    r, c = tn.shape
+    per_group = []
+    for s in range(0, r, g):
+        per_group.append(ftb_rounds(tn[s:s+g], t_final[s:s+g]))
+    return max(per_group), sum(per_group) / len(per_group)
