@@ -29,6 +29,14 @@ import numpy as np
 
 LEAF_SIZE = 16  # slots per leaf (sah mode: real leaves of <= this, padded)
 
+# Slot-mode bins: maximal SAH subtrees of <= BIN_TARGET triangles, each
+# occupying exactly BIN_TARGET slots (bvh/sah.sah_cuts).  A cut node IS a
+# node of the SAH tree, so bin AABBs are as tight as the build could make
+# them — measured (tools/sim_bins.py, staircase2 tile blocks): ftb
+# rounds/block 5.5 -> 4.0 and votes/ray 1.5 -> 0.8 vs grouping 8
+# consecutive leaves.
+BIN_TARGET = 128
+
 # Below this many triangles the sah build keeps the triangle arrays dense
 # (fixed-size cuts of the DFS order, no -1 slots): small scenes are served by
 # the brute-force megakernel whose loop bound is the REAL triangle count
@@ -108,9 +116,11 @@ def build_bvh(
         # that can never hit).  Fixed-size cuts of the DFS order measure
         # ~5-10x more slab votes per ray than the true leaves (staircase2),
         # so the padding buys its memory back many times over in culling.
-        from .sah import sah_leaves
+        from .sah import sah_cuts
 
-        tri_order, sizes = sah_leaves(real, num_tris, leaf_target=leaf_size)
+        tri_order, _lsizes, bsizes = sah_cuts(
+            real, num_tris, leaf_target=leaf_size, bin_target=BIN_TARGET
+        )
         if num_tris <= SLOT_DENSE_THRESHOLD:
             # dense mode: fixed cuts of the SAH order, original array length
             perm = np.concatenate([tri_order, np.arange(num_tris, t_total)])
@@ -124,21 +134,36 @@ def build_bvh(
                 cluster_min[c] = chunk.min(axis=(0, 1))
                 cluster_max[c] = chunk.max(axis=(0, 1))
         else:
-            n_clusters_real = len(sizes)
+            # slot mode: subtree-cut bins are the primary layout.  Bin b owns
+            # slots [b*BIN_TARGET, (b+1)*BIN_TARGET): its triangles (a real
+            # SAH subtree, <= BIN_TARGET of them) sit contiguously at the bin
+            # start, -1 padding after.  Leaves are the fixed leaf_size-slot
+            # cuts of each bin (8 per bin at the defaults) — fixed cuts are
+            # only mildly loose *within* a <= BIN_TARGET-tri subtree, and the
+            # bin boxes (what the default ftb kernel tests) are exact SAH
+            # node AABBs.  binned.build_bins regroups leaf_size*g-slot runs,
+            # which lands exactly on bin boundaries.
+            n_bins = len(bsizes)
+            leaves_per_bin = BIN_TARGET // leaf_size
+            n_clusters_real = n_bins * leaves_per_bin
             n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
-            slots = n_clusters * leaf_size
-            perm = np.full(slots, -1, np.int64)
-            starts = np.concatenate([[0], np.cumsum(sizes)])
-            for c in range(n_clusters_real):
-                s0, s1 = starts[c], starts[c + 1]
-                perm[c * leaf_size : c * leaf_size + (s1 - s0)] = tri_order[s0:s1]
+            perm = np.full(n_clusters * leaf_size, -1, np.int64)
+            starts = np.concatenate([[0], np.cumsum(bsizes)])
+            for bi in range(n_bins):
+                s0, s1 = starts[bi], starts[bi + 1]
+                perm[bi * BIN_TARGET : bi * BIN_TARGET + (s1 - s0)] = (
+                    tri_order[s0:s1]
+                )
 
             cluster_min = np.full((n_clusters, 3), np.inf, np.float32)
             cluster_max = np.full((n_clusters, 3), -np.inf, np.float32)
             for c in range(n_clusters_real):
-                chunk = real[tri_order[starts[c] : starts[c + 1]]]
-                cluster_min[c] = chunk.min(axis=(0, 1))
-                cluster_max[c] = chunk.max(axis=(0, 1))
+                ids = perm[c * leaf_size : (c + 1) * leaf_size]
+                ids = ids[ids >= 0]
+                if ids.size:
+                    chunk = real[ids]
+                    cluster_min[c] = chunk.min(axis=(0, 1))
+                    cluster_max[c] = chunk.max(axis=(0, 1))
     else:
         centroids = real.mean(axis=1)
         bb_min = real.min(axis=(0, 1))

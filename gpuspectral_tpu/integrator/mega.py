@@ -680,6 +680,238 @@ def _uniform_mod(bits, n: int):
     return r.astype(jnp.int32)
 
 
+def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
+                     pick_light, sel_pdf_of_hit, fresh, pix, spp,
+                     modulate=None):
+    """The shared per-bounce shading + MIS/RR/regeneration state machine.
+
+    Both persistent kernels (this module's brute-force one and
+    integrator/mega_bvh.py's fused-BVH one) run this exact body; they differ
+    only in the injected closures:
+
+      closest(o, d, alive) -> (t, hit, bu, bv, attrs)   attrs = _NA planes
+      any_hit(o, d, t_min, t_max, active) -> occluded bool planes
+      pick_light(seed, bounce) -> (lv0, lv1, lv2, lemit, select_pdf)
+      sel_pdf_of_hit(attrs) -> light-selection pdf of the HIT emitter
+                               (uniform: 1/n_lights; power: baked attr row)
+      fresh(sample) -> (o, d, seed)  per-pixel ray regeneration
+      modulate(p, attrs, bu, bv) -> p   albedo modulation hook (textures)
+
+    Semantics follow rayhit.rchit:666-797 + raygen.rgen:51-91 exactly, as
+    path_tracer.trace_wavefront does (tests assert equivalence)."""
+
+    def body(st):
+        bounce = st["depth"]
+        seed = st["seed"]
+        alive = st["done"] == 0
+        o = (st["ox"], st["oy"], st["oz"])
+        d = (st["dx"], st["dy"], st["dz"])
+
+        t, hit, bu, bv, a = closest(o, d, alive)
+        miss = (~hit) & alive
+
+        n0 = (a[0], a[1], a[2])
+        n1 = (a[3], a[4], a[5])
+        n2 = (a[6], a[7], a[8])
+        emission = (a[9], a[10], a[11])
+        twofaced = a[12] > 0.5
+        p = a[15:27]
+        if modulate is not None:
+            p = modulate(p, a, bu, bv)
+        if len(present) == 1:  # kind row not gathered; constant
+            kind = jnp.full(t.shape, present[0], jnp.int32)
+        else:
+            kind = jnp.round(a[14]).astype(jnp.int32)
+        gn = (a[27], a[28], a[29])
+
+        zf = jnp.zeros_like(t)
+        zb = jnp.zeros_like(t, jnp.bool_)
+
+        t_safe = jnp.where(hit, t, 1.0)
+        position = _add(o, _scale(d, t_safe))
+
+        bw = 1.0 - bu - bv
+        sn = _normalize(_add(_add(_scale(n0, bw), _scale(n1, bu)), _scale(n2, bv)))
+        # orient interpolated normal into the geometric hemisphere
+        # (path_tracer.py bounce step)
+        sn = _where3(_dot(sn, gn) < 0.0, _neg(sn), sn)
+
+        backface = _dot(gn, _neg(d)) < 0.0
+        emissive = (emission[0] != 0.0) | (emission[1] != 0.0) | (emission[2] != 0.0)
+        flip = backface & twofaced & (~emissive)
+        gn = _where3(flip, _neg(gn), gn)
+        sn = _where3(flip, _neg(sn), sn)
+
+        tg, bn, nn = _onb_create(sn)
+        wo = _normalize(_to_local(tg, bn, nn, _neg(d)))
+
+        u_sel = _uniform(seed, bounce, _CH_BSDF_SELECT)
+        u1 = _uniform(seed, bounce, _CH_BSDF_U1)
+        u2 = _uniform(seed, bounce, _CH_BSDF_U2)
+        wi_local, f, pdf, delta = _sample_bsdf_soa(present, p, kind, wo, u_sel, u1, u2)
+        now_ = jnp.abs(wi_local[2])
+        wi_world = _to_world(tg, bn, nn, wi_local)
+        transmission = kind == BSDF_SMOOTH_DIELECTRIC
+
+        # --- light sampling ---
+        lv0, lv1, lv2, lemit, select_pdf = pick_light(seed, bounce)
+        lu1 = _uniform(seed, bounce, _CH_LIGHT_U1)
+        lu2 = _uniform(seed, bounce, _CH_LIGHT_U2)
+        # ops/sampling.py:sample_triangle_light
+        su = jnp.sqrt(jnp.maximum(lu1, 0.0))
+        lbu = 1.0 - su
+        lbv = lu2 * su
+        lbw = 1.0 - lbu - lbv
+        lcr = _cross(_sub(lv2, lv0), _sub(lv1, lv0))
+        larea = 0.5 * jnp.abs(_length(lcr))
+        lnormal = _normalize(_cross(_sub(lv1, lv0), _sub(lv2, lv0)))
+        light_pos = _add(_add(_scale(lv0, lbu), _scale(lv1, lbv)), _scale(lv2, lbw))
+        ldelta = _sub(light_pos, position)
+        ldist = _length(ldelta)
+        ldir = _scale(ldelta, 1.0 / jnp.maximum(ldist, 1e-12))
+        cos_light = _dot(_neg(ldir), lnormal)
+        lfront = jnp.where(cos_light > 0.0, 1.0, 0.0)
+        light_emitted = _scale(lemit, lfront)
+        light_pdf = ldist * ldist / jnp.maximum(jnp.abs(cos_light) * larea, 1e-12)
+        light_pdf = light_pdf * select_pdf
+
+        w_light_local = _to_local(tg, bn, nn, ldir)
+        nol = jnp.abs(_dot(sn, ldir))
+        f_light, _lpdf, _ld = _eval_bsdf_soa(present, p, kind, wo, w_light_local)
+
+        front_ok = (_dot(gn, _neg(d)) > 0.0) & (_dot(gn, ldir) > 0.0)
+        nee_candidate = hit & (~delta) & (front_ok | transmission) if cfg.nee else zb
+
+        shadowed = any_hit(
+            position, ldir,
+            jnp.full(t.shape, cfg.shadow_epsilon, jnp.float32),
+            ldist - cfg.shadow_epsilon,
+            nee_candidate,
+        )
+        nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
+
+        w_mis = _power_heuristic(light_pdf, pdf)
+        inv_lpdf = _safe_inv(light_pdf)
+        nee_s = w_mis * nol * inv_lpdf
+        weight = (st["wr"], st["wg"], st["wb"])
+        e_r = jnp.where(nee_done, nee_s * f_light[0] * weight[0] * light_emitted[0], 0.0)
+        e_g = jnp.where(nee_done, nee_s * f_light[1] * weight[1] * light_emitted[1], 0.0)
+        e_b = jnp.where(nee_done, nee_s * f_light[2] * weight[2] * light_emitted[2], 0.0)
+
+        # emitter accumulation w/ MIS bookkeeping (rayhit.rchit:760-768)
+        light_flag = jnp.where(_dot(gn, _neg(d)) > 0.0, 1.0, 0.0)
+        ce = st["count_emitted"] != 0
+        wd = st["was_delta"] != 0
+        se_r = emission[0] * light_flag * weight[0]
+        se_g = emission[1] * light_flag * weight[1]
+        se_b = emission[2] * light_flag * weight[2]
+        if cfg.nee and cfg.mis_mode == "exact":
+            area_hit = a[30]
+            cos_hit = jnp.abs(_dot(gn, _neg(d)))
+            sel_hit = sel_pdf_of_hit(a)
+            pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
+            w_emit = jnp.where(
+                st["prev_nee"] != 0, _power_heuristic(st["prev_pdf"], pdf_hit), 1.0
+            )
+            scale_first = jnp.where((~ce) & (~wd), w_emit, 1.0)
+            e_r = e_r + scale_first * se_r
+            e_g = e_g + scale_first * se_g
+            e_b = e_b + scale_first * se_b
+        elif cfg.nee:
+            scale_first = jnp.where((~ce) & (~wd), st["direct_weight"], 1.0)
+            e_r = e_r + scale_first * se_r
+            e_g = e_g + scale_first * se_g
+            e_b = e_b + scale_first * se_b
+        else:
+            e_r = e_r + se_r
+            e_g = e_g + se_g
+            e_b = e_b + se_b
+        e_r = jnp.where(hit, e_r, 0.0)
+        e_g = jnp.where(hit, e_g, 0.0)
+        e_b = jnp.where(hit, e_b, 0.0)
+
+        invalid_hemi = (_dot(wi_world, gn) <= 0.0) & (~transmission)
+        self_isect = (_dot(gn, _neg(d)) <= 0.0) & (~transmission)
+        bad_pdf = (~jnp.isfinite(pdf)) | (~_finite3(f)) | (pdf == 0.0)
+        terminate = hit & (invalid_hemi | self_isect | bad_pdf)
+
+        new_direct_weight = jnp.where(nee_done, _power_heuristic(pdf, light_pdf), 1.0)
+
+        # faceforward(gn, -wi, gn): gn if dot(gn, -wi) < 0 else -gn
+        off = _where3(_dot(gn, _neg(wi_world)) < 0.0, gn, _neg(gn))
+        new_o = _add(position, _scale(off, cfg.origin_epsilon))
+        w_s = now_ * _safe_inv(pdf)
+        new_w = (weight[0] * f[0] * w_s, weight[1] * f[1] * w_s, weight[2] * f[2] * w_s)
+
+        cont = hit & (~terminate)
+        st = dict(st)
+        st["rays"] = st["rays"] + jnp.where(alive, 1, 0) + jnp.where(nee_candidate, 1, 0)
+        st["ox"] = jnp.where(cont, new_o[0], o[0])
+        st["oy"] = jnp.where(cont, new_o[1], o[1])
+        st["oz"] = jnp.where(cont, new_o[2], o[2])
+        st["dx"] = jnp.where(cont, wi_world[0], d[0])
+        st["dy"] = jnp.where(cont, wi_world[1], d[1])
+        st["dz"] = jnp.where(cont, wi_world[2], d[2])
+        st["wr"] = jnp.where(cont, new_w[0], weight[0])
+        st["wg"] = jnp.where(cont, new_w[1], weight[1])
+        st["wb"] = jnp.where(cont, new_w[2], weight[2])
+        st["direct_weight"] = jnp.where(cont, new_direct_weight, st["direct_weight"])
+        st["prev_pdf"] = jnp.where(cont, pdf, st["prev_pdf"])
+        b2i = lambda b: jnp.where(b, 1, 0)
+        st["prev_nee"] = jnp.where(cont, b2i(nee_done), st["prev_nee"])
+        st["was_delta"] = jnp.where(cont, b2i(delta), st["was_delta"])
+        st["count_emitted"] = jnp.where(cont, 0, st["count_emitted"])
+        st["done"] = b2i((st["done"] != 0) | miss | terminate)
+
+        keep = (e_r < cfg.firefly_clamp) & (e_g < cfg.firefly_clamp) & (e_b < cfg.firefly_clamp)
+        acc = alive & keep
+        st["rad_r"] = st["rad_r"] + jnp.where(acc, e_r, 0.0)
+        st["rad_g"] = st["rad_g"] + jnp.where(acc, e_g, 0.0)
+        st["rad_b"] = st["rad_b"] + jnp.where(acc, e_b, 0.0)
+
+        if_rr = bounce > jnp.uint32(cfg.rr_start_depth)
+        q = jnp.clip(jnp.maximum(jnp.maximum(st["wr"], st["wg"]), st["wb"]),
+                     cfg.rr_clamp_min, 1.0)
+        u_rr = _uniform(seed, bounce, _CH_RR)
+        rr_kill = if_rr & (u_rr > q)
+        rr_keep = if_rr & (~rr_kill)
+        inv_q = 1.0 / q
+        st["wr"] = jnp.where(rr_keep, st["wr"] * inv_q, st["wr"])
+        st["wg"] = jnp.where(rr_keep, st["wg"] * inv_q, st["wg"])
+        st["wb"] = jnp.where(rr_keep, st["wb"] * inv_q, st["wb"])
+        st["done"] = b2i((st["done"] != 0) | rr_kill)
+
+        # depth advance + per-path cutoff + regeneration
+        # (path_tracer.trace_wavefront body)
+        depth = bounce + 1
+        done = (st["done"] != 0) | (depth >= jnp.uint32(cfg.max_depth + 1))
+        regen = done & (st["sample"] + 1 < spp)
+        new_sample = jnp.where(regen, st["sample"] + 1, st["sample"])
+        o_n, d_n, seed_n = fresh(new_sample)
+        st["ox"] = jnp.where(regen, o_n[0], st["ox"])
+        st["oy"] = jnp.where(regen, o_n[1], st["oy"])
+        st["oz"] = jnp.where(regen, o_n[2], st["oz"])
+        st["dx"] = jnp.where(regen, d_n[0], st["dx"])
+        st["dy"] = jnp.where(regen, d_n[1], st["dy"])
+        st["dz"] = jnp.where(regen, d_n[2], st["dz"])
+        st["seed"] = jnp.where(regen, seed_n, st["seed"])
+        st["wr"] = jnp.where(regen, 1.0, st["wr"])
+        st["wg"] = jnp.where(regen, 1.0, st["wg"])
+        st["wb"] = jnp.where(regen, 1.0, st["wb"])
+        st["direct_weight"] = jnp.where(regen, 1.0, st["direct_weight"])
+        st["prev_pdf"] = jnp.where(regen, 1.0, st["prev_pdf"])
+        st["prev_nee"] = jnp.where(regen, 0, st["prev_nee"])
+        st["was_delta"] = jnp.where(regen, 0, st["was_delta"])
+        st["count_emitted"] = jnp.where(regen, 1, st["count_emitted"])
+        st["depth"] = jnp.where(regen, 0, depth)
+        st["sample"] = new_sample
+        st["done"] = b2i(done & (~regen))
+        st["it"] = st["it"] + 1
+        return st
+
+    return body
+
+
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
     """Returns the kernel closure.  All shape/config values are static; the
     progressive timestamp arrives as a traced SMEM scalar so successive
@@ -844,219 +1076,28 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
             return (st["it"] < max_iters) & (~jnp.all(exhausted))
 
-        def body(st):
-            bounce = st["depth"]
-            seed = st["seed"]
-            alive = st["done"] == 0
-            o = (st["ox"], st["oy"], st["oz"])
-            d = (st["dx"], st["dy"], st["dz"])
-
+        def closest(o, d, alive):
             t, prim, bu, bv = intersect_closest(o, d, alive)
-            hit = (prim >= 0) & alive
-            miss = (prim < 0) & alive
+            return t, (prim >= 0) & alive, bu, bv, gather_attrs(prim)
 
-            a = gather_attrs(prim)
-            n0 = (a[0], a[1], a[2])
-            n1 = (a[3], a[4], a[5])
-            n2 = (a[6], a[7], a[8])
-            emission = (a[9], a[10], a[11])
-            twofaced = a[12] > 0.5
-            p = a[15:27]
-            if len(present) == 1:  # kind row not gathered; constant
-                kind = jnp.full((SUB, LANES), present[0], jnp.int32)
-            else:
-                kind = jnp.round(a[14]).astype(jnp.int32)
-            gn = (a[27], a[28], a[29])
-
-            t_safe = jnp.where(hit, t, 1.0)
-            position = _add(o, _scale(d, t_safe))
-
-            bw = 1.0 - bu - bv
-            sn = _normalize(_add(_add(_scale(n0, bw), _scale(n1, bu)), _scale(n2, bv)))
-            # orient interpolated normal into the geometric hemisphere
-            # (path_tracer.py bounce step)
-            sn = _where3(_dot(sn, gn) < 0.0, _neg(sn), sn)
-
-            backface = _dot(gn, _neg(d)) < 0.0
-            emissive = (emission[0] != 0.0) | (emission[1] != 0.0) | (emission[2] != 0.0)
-            flip = backface & twofaced & (~emissive)
-            gn = _where3(flip, _neg(gn), gn)
-            sn = _where3(flip, _neg(sn), sn)
-
-            tg, bn, nn = _onb_create(sn)
-            wo = _normalize(_to_local(tg, bn, nn, _neg(d)))
-
-            u_sel = _uniform(seed, bounce, _CH_BSDF_SELECT)
-            u1 = _uniform(seed, bounce, _CH_BSDF_U1)
-            u2 = _uniform(seed, bounce, _CH_BSDF_U2)
-            wi_local, f, pdf, delta = _sample_bsdf_soa(present, p, kind, wo, u_sel, u1, u2)
-            now_ = jnp.abs(wi_local[2])
-            wi_world = _to_world(tg, bn, nn, wi_local)
-            transmission = kind == BSDF_SMOOTH_DIELECTRIC
-
-            # --- light sampling (uniform pick, as the reference) ---
+        def pick_light(seed, bounce):
+            # uniform pick, as the reference (rayhit.rchit:720-729)
             lbits = rng.random_bits(seed, bounce, _CH_LIGHT_INDEX)
             lidx = _uniform_mod(lbits, n_lights)
-            select_pdf = 1.0 / n_lights
             lr = gather_light(lidx)
-            lv0 = (lr[0], lr[1], lr[2])
-            lv1 = (lr[3], lr[4], lr[5])
-            lv2 = (lr[6], lr[7], lr[8])
-            lemit = (lr[9], lr[10], lr[11])
-            lu1 = _uniform(seed, bounce, _CH_LIGHT_U1)
-            lu2 = _uniform(seed, bounce, _CH_LIGHT_U2)
-            # ops/sampling.py:sample_triangle_light
-            su = jnp.sqrt(jnp.maximum(lu1, 0.0))
-            lbu = 1.0 - su
-            lbv = lu2 * su
-            lbw = 1.0 - lbu - lbv
-            lcr = _cross(_sub(lv2, lv0), _sub(lv1, lv0))
-            larea = 0.5 * jnp.abs(_length(lcr))
-            lnormal = _normalize(_cross(_sub(lv1, lv0), _sub(lv2, lv0)))
-            light_pos = _add(_add(_scale(lv0, lbu), _scale(lv1, lbv)), _scale(lv2, lbw))
-            ldelta = _sub(light_pos, position)
-            ldist = _length(ldelta)
-            ldir = _scale(ldelta, 1.0 / jnp.maximum(ldist, 1e-12))
-            cos_light = _dot(_neg(ldir), lnormal)
-            lfront = jnp.where(cos_light > 0.0, 1.0, 0.0)
-            light_emitted = _scale(lemit, lfront)
-            light_pdf = ldist * ldist / jnp.maximum(jnp.abs(cos_light) * larea, 1e-12)
-            light_pdf = light_pdf * select_pdf
+            return ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
+                    (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
+                    1.0 / n_lights)
 
-            w_light_local = _to_local(tg, bn, nn, ldir)
-            nol = jnp.abs(_dot(sn, ldir))
-            f_light, _lpdf, _ld = _eval_bsdf_soa(present, p, kind, wo, w_light_local)
-
-            front_ok = (_dot(gn, _neg(d)) > 0.0) & (_dot(gn, ldir) > 0.0)
-            nee_candidate = hit & (~delta) & (front_ok | transmission) if cfg.nee else zb
-
-            shadowed = intersect_any(
-                position, ldir,
-                jnp.full((SUB, LANES), cfg.shadow_epsilon, jnp.float32),
-                ldist - cfg.shadow_epsilon,
-                nee_candidate,
-            )
-            nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
-
-            w_mis = _power_heuristic(light_pdf, pdf)
-            inv_lpdf = _safe_inv(light_pdf)
-            nee_s = w_mis * nol * inv_lpdf
-            weight = (st["wr"], st["wg"], st["wb"])
-            e_r = jnp.where(nee_done, nee_s * f_light[0] * weight[0] * light_emitted[0], 0.0)
-            e_g = jnp.where(nee_done, nee_s * f_light[1] * weight[1] * light_emitted[1], 0.0)
-            e_b = jnp.where(nee_done, nee_s * f_light[2] * weight[2] * light_emitted[2], 0.0)
-
-            # emitter accumulation w/ MIS bookkeeping (rayhit.rchit:760-768)
-            light_flag = jnp.where(_dot(gn, _neg(d)) > 0.0, 1.0, 0.0)
-            ce = st["count_emitted"] != 0
-            wd = st["was_delta"] != 0
-            se_r = emission[0] * light_flag * weight[0]
-            se_g = emission[1] * light_flag * weight[1]
-            se_b = emission[2] * light_flag * weight[2]
-            if cfg.nee and cfg.mis_mode == "exact":
-                area_hit = a[30]
-                cos_hit = jnp.abs(_dot(gn, _neg(d)))
-                sel_hit = 1.0 / n_lights
-                pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
-                w_emit = jnp.where(
-                    st["prev_nee"] != 0, _power_heuristic(st["prev_pdf"], pdf_hit), 1.0
-                )
-                scale_first = jnp.where((~ce) & (~wd), w_emit, 1.0)
-                e_r = e_r + scale_first * se_r
-                e_g = e_g + scale_first * se_g
-                e_b = e_b + scale_first * se_b
-            elif cfg.nee:
-                scale_first = jnp.where((~ce) & (~wd), st["direct_weight"], 1.0)
-                e_r = e_r + scale_first * se_r
-                e_g = e_g + scale_first * se_g
-                e_b = e_b + scale_first * se_b
-            else:
-                e_r = e_r + se_r
-                e_g = e_g + se_g
-                e_b = e_b + se_b
-            e_r = jnp.where(hit, e_r, 0.0)
-            e_g = jnp.where(hit, e_g, 0.0)
-            e_b = jnp.where(hit, e_b, 0.0)
-
-            invalid_hemi = (_dot(wi_world, gn) <= 0.0) & (~transmission)
-            self_isect = (_dot(gn, _neg(d)) <= 0.0) & (~transmission)
-            bad_pdf = (~jnp.isfinite(pdf)) | (~_finite3(f)) | (pdf == 0.0)
-            terminate = hit & (invalid_hemi | self_isect | bad_pdf)
-
-            new_direct_weight = jnp.where(nee_done, _power_heuristic(pdf, light_pdf), 1.0)
-
-            # faceforward(gn, -wi, gn): gn if dot(gn, -wi) < 0 else -gn
-            off = _where3(_dot(gn, _neg(wi_world)) < 0.0, gn, _neg(gn))
-            new_o = _add(position, _scale(off, cfg.origin_epsilon))
-            w_s = now_ * _safe_inv(pdf)
-            new_w = (weight[0] * f[0] * w_s, weight[1] * f[1] * w_s, weight[2] * f[2] * w_s)
-
-            cont = hit & (~terminate)
-            st = dict(st)
-            st["rays"] = st["rays"] + jnp.where(alive, 1, 0) + jnp.where(nee_candidate, 1, 0)
-            st["ox"] = jnp.where(cont, new_o[0], o[0])
-            st["oy"] = jnp.where(cont, new_o[1], o[1])
-            st["oz"] = jnp.where(cont, new_o[2], o[2])
-            st["dx"] = jnp.where(cont, wi_world[0], d[0])
-            st["dy"] = jnp.where(cont, wi_world[1], d[1])
-            st["dz"] = jnp.where(cont, wi_world[2], d[2])
-            st["wr"] = jnp.where(cont, new_w[0], weight[0])
-            st["wg"] = jnp.where(cont, new_w[1], weight[1])
-            st["wb"] = jnp.where(cont, new_w[2], weight[2])
-            st["direct_weight"] = jnp.where(cont, new_direct_weight, st["direct_weight"])
-            st["prev_pdf"] = jnp.where(cont, pdf, st["prev_pdf"])
-            b2i = lambda b: jnp.where(b, 1, 0)
-            st["prev_nee"] = jnp.where(cont, b2i(nee_done), st["prev_nee"])
-            st["was_delta"] = jnp.where(cont, b2i(delta), st["was_delta"])
-            st["count_emitted"] = jnp.where(cont, 0, st["count_emitted"])
-            st["done"] = b2i((st["done"] != 0) | miss | terminate)
-
-            keep = (e_r < cfg.firefly_clamp) & (e_g < cfg.firefly_clamp) & (e_b < cfg.firefly_clamp)
-            acc = alive & keep
-            st["rad_r"] = st["rad_r"] + jnp.where(acc, e_r, 0.0)
-            st["rad_g"] = st["rad_g"] + jnp.where(acc, e_g, 0.0)
-            st["rad_b"] = st["rad_b"] + jnp.where(acc, e_b, 0.0)
-
-            if_rr = bounce > jnp.uint32(cfg.rr_start_depth)
-            q = jnp.clip(jnp.maximum(jnp.maximum(st["wr"], st["wg"]), st["wb"]),
-                         cfg.rr_clamp_min, 1.0)
-            u_rr = _uniform(seed, bounce, _CH_RR)
-            rr_kill = if_rr & (u_rr > q)
-            rr_keep = if_rr & (~rr_kill)
-            inv_q = 1.0 / q
-            st["wr"] = jnp.where(rr_keep, st["wr"] * inv_q, st["wr"])
-            st["wg"] = jnp.where(rr_keep, st["wg"] * inv_q, st["wg"])
-            st["wb"] = jnp.where(rr_keep, st["wb"] * inv_q, st["wb"])
-            st["done"] = b2i((st["done"] != 0) | rr_kill)
-
-            # depth advance + per-path cutoff + regeneration
-            # (path_tracer.trace_wavefront body)
-            depth = bounce + 1
-            done = (st["done"] != 0) | (depth >= jnp.uint32(cfg.max_depth + 1))
-            regen = done & (st["sample"] + 1 < spp)
-            new_sample = jnp.where(regen, st["sample"] + 1, st["sample"])
-            o_n, d_n, seed_n = fresh(pix, new_sample)
-            st["ox"] = jnp.where(regen, o_n[0], st["ox"])
-            st["oy"] = jnp.where(regen, o_n[1], st["oy"])
-            st["oz"] = jnp.where(regen, o_n[2], st["oz"])
-            st["dx"] = jnp.where(regen, d_n[0], st["dx"])
-            st["dy"] = jnp.where(regen, d_n[1], st["dy"])
-            st["dz"] = jnp.where(regen, d_n[2], st["dz"])
-            st["seed"] = jnp.where(regen, seed_n, st["seed"])
-            st["wr"] = jnp.where(regen, 1.0, st["wr"])
-            st["wg"] = jnp.where(regen, 1.0, st["wg"])
-            st["wb"] = jnp.where(regen, 1.0, st["wb"])
-            st["direct_weight"] = jnp.where(regen, 1.0, st["direct_weight"])
-            st["prev_pdf"] = jnp.where(regen, 1.0, st["prev_pdf"])
-            st["prev_nee"] = jnp.where(regen, 0, st["prev_nee"])
-            st["was_delta"] = jnp.where(regen, 0, st["was_delta"])
-            st["count_emitted"] = jnp.where(regen, 1, st["count_emitted"])
-            st["depth"] = jnp.where(regen, 0, depth)
-            st["sample"] = new_sample
-            st["done"] = b2i(done & (~regen))
-            st["it"] = st["it"] + 1
-            return st
-
+        body = make_bounce_body(
+            cfg, present,
+            closest=closest,
+            any_hit=intersect_any,
+            pick_light=pick_light,
+            sel_pdf_of_hit=lambda a: 1.0 / n_lights,
+            fresh=lambda sample: fresh(pix, sample),
+            pix=pix, spp=spp,
+        )
         state = jax.lax.while_loop(cond, body, state)
         rad_r_ref[:] = state["rad_r"]
         rad_g_ref[:] = state["rad_g"]
