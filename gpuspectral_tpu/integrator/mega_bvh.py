@@ -1,0 +1,459 @@
+"""Persistent Pallas megakernel with fused front-to-back BVH traversal.
+
+This closes the reference's biggest performance asymmetry: its BVH scenes
+traverse in RT-core silicon (`traceRayEXT`, assets/shaders/raygen.rgen:58;
+BLAS/TLAS built by backend/vulkan/VulkanRays.cpp:6-86) while the shading
+loop stays on the SIMT cores.  Here both halves fuse into ONE `pallas_call`
+per ray block: camera gen, front-to-back binned BVH traversal, shading, NEE
+shadow traversal, RR and sample regeneration — per-path state never touches
+HBM between bounces.
+
+Why this shape (measured, tools/sim_bins.py + round-2 profiling):
+  * The XLA wavefront's inter-bounce glue costs more than the traversal
+    kernels themselves on BVH scenes (staircase2 end-to-end 1.56 Mrays/s vs
+    4.8-6.9 raw kernel).
+  * Traversal cost is set by ray coherence: a block of 128 *consecutive
+    raster pixels* needs ~4 front-to-back rounds per bounce with
+    subtree-cut bins, vs ~100 for shuffled rays.  The megakernel's blocks
+    are exactly such pixel tiles, and sample regeneration keeps every lane
+    on its own pixel for the whole kernel, so coherence survives.
+
+Block shape: 128 rays as ONE (1, 128) lane vector per state plane (the
+brute-force megakernel uses (16, 128) tiles; here traversal dominates, and
+128-ray blocks keep the front-to-back round count low).  Traversal runs in
+the ftb orientation (rays on sublanes, bins/slots on lanes — bvh/ftb.py)
+against the same `(6, C)` bin-bounds and `(12, S)` Woop tables; shading
+runs in lane orientation; the two exchange through ~20 small (1,128) <->
+(128,1) transposes per bounce.
+
+Shading attributes are gathered DURING the sweep by an MXU one-hot matmul:
+`first` (the per-ray argmin slot mask, (128 rays, 128 slots)) contracted
+against the chunk's attribute rows (A, 128 slots).  On TPU the f32 matmul
+runs as bf16x3 passes (~2^-22 relative error on normals/params — far below
+MC noise); interpret mode is exact.
+
+Light selection supports BOTH the reference's uniform pick and power
+sampling: the pick is a (L, 128) one-hot built from two CDF compares, and
+the light's 13 scalars arrive through one MXU contraction — no per-lane
+gathers, no block-shared pick approximation (cfg.light_block) needed.
+
+Semantics: the bounce body is integrator/mega.make_bounce_body — the same
+MIS/delta/RR state machine as the XLA wavefront (rayhit.rchit:666-797).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bvh.ftb import _next_bin, _woop_chunk_at
+from ..ops import rng
+from ..scene.data import SceneData
+from ..utils.config import RenderConfig
+from .mega import (
+    _CH_BSDF_SELECT,  # noqa: F401  (channel layout shared with mega)
+    _CH_JITTER_X,
+    _CH_JITTER_Y,
+    _CH_LIGHT_INDEX,
+    _fdivmod_exact,
+    _pack_tables,
+    _u2f,
+    _uniform,
+    _uniform_mod,
+    make_bounce_body,
+)
+
+_BIG = 1e30
+LANES = 128
+R = 128  # rays per block (= LANES; one (1,128) plane per state variable)
+
+# attr rows: 0-30 as mega._pack_tables, 31 = light-selection pdf of this
+# triangle's emitter (0 for non-emissive; used by exact-MIS BSDF-hit weights)
+_NA = 32
+
+# VMEM the scene tables may occupy (woop + attr + bounds + lights); the rest
+# of the ~16 MB core budget goes to the entry matrix and temporaries.
+MEGA_BVH_TABLE_BYTES = 11 * 1024 * 1024
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dotg(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _t(x):
+    """(1, n) <-> (n, 1) transpose (Mosaic relayout)."""
+    return jnp.transpose(x)
+
+
+def _inv_dir1(dx):
+    mag = jnp.maximum(jnp.abs(dx), 1e-12)
+    return 1.0 / jnp.where(dx < 0, -mag, mag)
+
+
+def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
+                 n_lights: int, present: tuple, light_mode: str):
+    width, height = cfg.width, cfg.height
+    spp = cfg.spp
+    max_iters = spp * (cfg.max_depth + 1)
+    chunks = slots // LANES
+    shape_rs = (R, LANES)  # (rays-sublane, slots-lane) sweep shape
+
+    def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
+               ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref):
+        t0 = ts_ref[0, 0]
+        pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (1,128)
+
+        r00, r01, r02 = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        r10, r11, r12 = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        r20, r21, r22 = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        cox, coy, coz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        fov = cam_ref[0, 12]
+        zplane = (max(width, height) / 2.0) / jnp.tan(fov / 2.0)
+
+        def fresh(sample):
+            # identical to mega.py's raygen (scene/camera.py semantics)
+            seed = rng.pixel_seed(pix, t0 + sample)
+            py, px = _fdivmod_exact(_u2f(pix), width)
+            if cfg.jitter:
+                px = px + _uniform(seed, jnp.uint32(0xFFFF), _CH_JITTER_X)
+                py = py + _uniform(seed, jnp.uint32(0xFFFF), _CH_JITTER_Y)
+            xx = px - width / 2.0
+            yy = py - height / 2.0
+            inv = jax.lax.rsqrt(xx * xx + yy * yy + zplane * zplane)
+            dcx, dcy, dcz = -xx * inv, -yy * inv, zplane * inv
+            dwx = r00 * dcx + r01 * dcy + r02 * dcz
+            dwy = r10 * dcx + r11 * dcy + r12 * dcz
+            dwz = r20 * dcx + r21 * dcy + r22 * dcz
+            o = (jnp.zeros_like(dwx) + cox, jnp.zeros_like(dwy) + coy,
+                 jnp.zeros_like(dwz) + coz)
+            return o, (dwx, dwy, dwz), seed
+
+        def fill_tn(oT, dT, tmaxT):
+            """(R, c_pad) slab entry distances (bvh/ftb.py:_fill_entry,
+            value form).  oT/dT: 3-tuples of (R,1); tmaxT (R,1)."""
+            lox, loy, loz = (bounds_ref[i:i + 1, :] for i in range(3))
+            hix, hiy, hiz = (bounds_ref[i:i + 1, :] for i in range(3, 6))
+            ix = _inv_dir1(dT[0])
+            iy = _inv_dir1(dT[1])
+            iz = _inv_dir1(dT[2])
+            t0x = (lox - oT[0]) * ix
+            t1x = (hix - oT[0]) * ix
+            t0y = (loy - oT[1]) * iy
+            t1y = (hiy - oT[1]) * iy
+            t0z = (loz - oT[2]) * iz
+            t1z = (hiz - oT[2]) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), tmaxT),
+            )
+            return jnp.where(tf >= tn, tn, _BIG)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, shape_rs, 1)
+
+        def closest(o, d, alive):
+            """Front-to-back traversal; returns (t, hit, u, v, attrs) in
+            lane orientation ((1,128) planes; attrs = _NA planes)."""
+            oT = tuple(_t(x) for x in o)
+            dT = tuple(_t(x) for x in d)
+            tmaxT = _t(jnp.where(alive, _BIG, -_BIG))
+            tn = fill_tn(oT, dT, tmaxT)
+            ox = jnp.broadcast_to(oT[0], shape_rs)
+            oy = jnp.broadcast_to(oT[1], shape_rs)
+            oz = jnp.broadcast_to(oT[2], shape_rs)
+            dx = jnp.broadcast_to(dT[0], shape_rs)
+            dy = jnp.broadcast_to(dT[1], shape_rs)
+            dz = jnp.broadcast_to(dT[2], shape_rs)
+
+            def candidates(vis, bt):
+                act = tn + vis
+                return jnp.where(act < bt, act, _BIG)
+
+            def cond(st):
+                return st[0] < _BIG
+
+            def body(st):
+                mn, binv, vis, bt, bu, bv, battr = st
+                base = binv * slots
+                for c in range(chunks):
+                    off = base + c * LANES
+                    t, u, v, ok = _woop_chunk_at(
+                        woop_ref, off, ox, oy, oz, dx, dy, dz)
+                    hit = ok & (t > 0.0) & (t < bt)
+                    tm = jnp.where(hit, t, _BIG)
+                    t_it = jnp.min(tm, axis=1, keepdims=True)  # (R,1)
+                    improved = t_it < bt
+                    # first-hit slot mask, tie-broken by slot order
+                    fs = jnp.min(jnp.where(tm == t_it, slot_i, 1 << 30),
+                                 axis=1, keepdims=True)
+                    first = (slot_i == fs) & hit  # (R rays, LANES slots)
+                    u_it = jnp.sum(jnp.where(first, u, 0.0), axis=1,
+                                   keepdims=True)
+                    v_it = jnp.sum(jnp.where(first, v, 0.0), axis=1,
+                                   keepdims=True)
+                    # MXU one-hot gather of the chunk's attribute rows
+                    arows = attr_ref[binv * chunks + c]  # (_NA, 128)
+                    attr_new = _dotg(first.astype(jnp.float32), arows,
+                                     ((1,), (1,)))  # (R rays, _NA)
+                    bt = jnp.where(improved, t_it, bt)
+                    bu = jnp.where(improved, u_it, bu)
+                    bv = jnp.where(improved, v_it, bv)
+                    battr = jnp.where(improved, attr_new, battr)
+                vis = jnp.where(col == binv, _BIG, vis)
+                mn, binv = _next_bin(candidates(vis, bt))
+                return mn, binv, vis, bt, bu, bv, battr
+
+            vis0 = jnp.zeros((1, c_pad), jnp.float32)
+            bt0 = jnp.minimum(tmaxT, _BIG)
+            mn0, binv0 = _next_bin(candidates(vis0, bt0))
+            z1 = jnp.zeros((R, 1), jnp.float32)
+            init = (mn0, binv0, vis0, bt0, z1, z1,
+                    jnp.zeros((R, _NA), jnp.float32))
+            _, _, _, bt, bu, bv, battr = jax.lax.while_loop(cond, body, init)
+            hitT = bt < jnp.minimum(tmaxT, _BIG)
+            battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
+            attrs = tuple(battr[i:i + 1, :] for i in range(_NA))
+            # transpose bools as f32 (Mosaic has no i1 transpose)
+            hit = _t(jnp.where(hitT, 1.0, 0.0)) > 0.5
+            return (_t(jnp.where(hitT, bt, _BIG)), hit, _t(bu), _t(bv), attrs)
+
+        def any_hit(o, d, t_min, t_max, active):
+            oT = tuple(_t(x) for x in o)
+            dT = tuple(_t(x) for x in d)
+            tminT = _t(t_min)
+            tmaxT = _t(jnp.where(active, t_max, -_BIG))
+            tn = fill_tn(oT, dT, tmaxT)
+            ox = jnp.broadcast_to(oT[0], shape_rs)
+            oy = jnp.broadcast_to(oT[1], shape_rs)
+            oz = jnp.broadcast_to(oT[2], shape_rs)
+            dx = jnp.broadcast_to(dT[0], shape_rs)
+            dy = jnp.broadcast_to(dT[1], shape_rs)
+            dz = jnp.broadcast_to(dT[2], shape_rs)
+
+            def candidates(vis, occ):
+                act = tn + vis + occ
+                return jnp.where(act < _BIG, act, _BIG)
+
+            def cond(st):
+                return st[0] < _BIG
+
+            def body(st):
+                mn, binv, vis, occ = st
+                base = binv * slots
+                hit_any = jnp.zeros((R, 1), jnp.float32)
+                for c in range(chunks):
+                    t, _u, _v, ok = _woop_chunk_at(
+                        woop_ref, base + c * LANES, ox, oy, oz, dx, dy, dz)
+                    h = ok & (t > tminT) & (t < tmaxT)
+                    hit_any = jnp.maximum(
+                        hit_any,
+                        jnp.max(h.astype(jnp.float32), axis=1, keepdims=True))
+                occ = jnp.maximum(occ, hit_any * _BIG)
+                vis = jnp.where(col == binv, _BIG, vis)
+                mn, binv = _next_bin(candidates(vis, occ))
+                return mn, binv, vis, occ
+
+            vis0 = jnp.zeros((1, c_pad), jnp.float32)
+            occ0 = jnp.zeros((R, 1), jnp.float32)
+            mn0, binv0 = _next_bin(candidates(vis0, occ0))
+            _, _, _, occ = jax.lax.while_loop(
+                cond, body, (mn0, binv0, vis0, occ0))
+            return _t(occ) > 0.0
+
+        lrow = jax.lax.broadcasted_iota(
+            jnp.int32, (light_ref.shape[0], LANES), 0)
+
+        def pick_light(seed, bounce):
+            if light_mode == "power":
+                u = _uniform(seed, bounce, _CH_LIGHT_INDEX)  # (1,128)
+                cdf_hi = light_ref[:, 13:14]  # (L8,1); last real row = 2.0
+                cdf_lo = light_ref[:, 14:15]  # shifted; first row = -1.0
+                onehot = ((u >= cdf_lo) & (u < cdf_hi)).astype(jnp.float32)
+            else:
+                lbits = rng.random_bits(seed, bounce, _CH_LIGHT_INDEX)
+                lidx = _uniform_mod(lbits, n_lights)  # (1,128) int32
+                onehot = (lrow == lidx).astype(jnp.float32)
+            # (L8,16) x (L8,128) -> (16,128): rows 0-8 verts, 9-11 emission,
+            # 12 select pdf
+            lr = _dotg(light_ref[:, 0:13], onehot, ((0,), (0,)))
+            return ((lr[0:1], lr[1:2], lr[2:3]), (lr[3:4], lr[4:5], lr[5:6]),
+                    (lr[6:7], lr[7:8], lr[8:9]), (lr[9:10], lr[10:11], lr[11:12]),
+                    lr[12:13])
+
+        if light_mode == "power":
+            sel_pdf_of_hit = lambda a: a[31]  # noqa: E731
+        else:
+            sel_pdf_of_hit = lambda a: 1.0 / n_lights  # noqa: E731
+
+        body = make_bounce_body(
+            cfg, present,
+            closest=closest,
+            any_hit=any_hit,
+            pick_light=pick_light,
+            sel_pdf_of_hit=sel_pdf_of_hit,
+            fresh=fresh,
+            pix=pix, spp=spp,
+        )
+
+        o0, d0, seed0 = fresh(jnp.uint32(0))
+        zf = jnp.zeros((1, LANES), jnp.float32)
+        zi = jnp.zeros((1, LANES), jnp.int32)
+        oi = jnp.ones((1, LANES), jnp.int32)
+        state = dict(
+            ox=o0[0], oy=o0[1], oz=o0[2],
+            dx=d0[0], dy=d0[1], dz=d0[2],
+            wr=jnp.ones((1, LANES), jnp.float32),
+            wg=jnp.ones((1, LANES), jnp.float32),
+            wb=jnp.ones((1, LANES), jnp.float32),
+            direct_weight=jnp.ones((1, LANES), jnp.float32),
+            prev_pdf=jnp.ones((1, LANES), jnp.float32),
+            prev_nee=zi,
+            was_delta=zi,
+            count_emitted=oi,
+            done=zi,
+            rad_r=zf, rad_g=zf, rad_b=zf,
+            rays=zi,
+            seed=seed0,
+            depth=jnp.zeros((1, LANES), jnp.uint32),
+            sample=jnp.zeros((1, LANES), jnp.uint32),
+            it=jnp.int32(0),
+        )
+
+        def cond(st):
+            exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
+            return (st["it"] < max_iters) & (~jnp.all(exhausted))
+
+        state = jax.lax.while_loop(cond, body, state)
+        rad_r_ref[0] = state["rad_r"]
+        rad_g_ref[0] = state["rad_g"]
+        rad_b_ref[0] = state["rad_b"]
+        rays_ref[0] = state["rays"]
+
+    return kernel
+
+
+def _pack_tables_bvh(scene: SceneData, light_mode: str):
+    """Device tables for the fused kernel (all jit-traceable).
+
+    Returns (bounds (6, c_pad), woop_t (12, S), attr3 (S/128, _NA, 128),
+    light (L8, 16), cam (1,13))."""
+    n_bins, slots = scene.bvh_bins, scene.bvh_bin_slots
+    need = n_bins * slots
+    # bin bounds, lane-padded with ftb's far-point pattern
+    from ..bvh.ftb import _pad_bounds_to_lane, _pad_woop
+
+    bounds, c_pad = _pad_bounds_to_lane(scene.bvh_bin_bounds)
+    woop_t = _pad_woop(scene.tri_woop_t, n_bins, slots)
+
+    # attr rows 0-30 exactly as the brute megakernel, + row 31: the
+    # light-selection pdf of this triangle's emitter
+    _, attr, _light, camv = _pack_tables(scene)
+    if light_mode == "power":
+        lp = scene.light_prob[jnp.maximum(scene.tri_light_idx, 0)]
+        lp = jnp.where(scene.tri_light_idx >= 0, lp, 0.0)
+    else:
+        lp = jnp.where(scene.tri_light_idx >= 0, 1.0 / scene.num_lights, 0.0)
+    attr = jnp.concatenate([attr, lp[None, :]], axis=0)  # (_NA, T)
+    t = attr.shape[1]
+    if t < need:
+        attr = jnp.pad(attr, ((0, 0), (0, need - t)))
+    attr3 = attr[:, :need].T.reshape(need // 128, 128, _NA).transpose(0, 2, 1)
+
+    # light table (L8, 16): 0-8 verts, 9-11 emission, 12 select pdf,
+    # 13 cdf_hi (last real row 2.0), 14 cdf_lo (first row -1.0)
+    L = scene.num_lights
+    L8 = -(-L // 8) * 8
+    if light_mode == "power":
+        prob = scene.light_prob
+        cdf = scene.light_cdf
+    else:
+        prob = jnp.full((L,), 1.0 / L, jnp.float32)
+        cdf = (jnp.arange(L, dtype=jnp.float32) + 1.0) / L
+    cdf_hi = jnp.concatenate([cdf[:-1], jnp.asarray([2.0], jnp.float32)])
+    cdf_lo = jnp.concatenate([jnp.asarray([-1.0], jnp.float32), cdf[:-1]])
+    light = jnp.concatenate(
+        [scene.light_pos.reshape(L, 9), scene.light_emission,
+         prob[:, None], cdf_hi[:, None], cdf_lo[:, None],
+         jnp.zeros((L, 1), jnp.float32)],
+        axis=1,
+    )
+    if L8 > L:
+        pad = jnp.zeros((L8 - L, 16), jnp.float32)
+        pad = pad.at[:, 13:15].set(_BIG)  # cdf rows that never select
+        light = jnp.concatenate([light, pad], axis=0)
+    return bounds, c_pad, woop_t, attr3, light, camv
+
+
+def mega_bvh_table_bytes(scene: SceneData) -> int:
+    need = scene.bvh_bins * scene.bvh_bin_slots
+    return 4 * (need * (12 + _NA) + scene.bvh_bins * 128 * 2
+                + scene.num_lights * 128)
+
+
+def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
+    """Whether the fused BVH megakernel covers this (scene, config)."""
+    return (
+        cfg.use_bvh
+        and not scene.has_textures  # v1: no in-kernel texture modulation
+        and not scene.has_envmap
+        and cfg.light_sampling in ("uniform", "power")
+        and scene.num_tris > 0
+        and scene.num_lights < (1 << 16)
+        and mega_bvh_table_bytes(scene) <= MEGA_BVH_TABLE_BYTES
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
+                    interpret: bool = False):
+    """Render (H, W, 3) radiance (mean over cfg.spp) + total rays traced,
+    as one fused persistent kernel per 128-pixel block."""
+    light_mode = cfg.light_sampling
+    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
+        scene, light_mode)
+    n_pixels = cfg.width * cfg.height
+    n_blocks = -(-n_pixels // R)
+    padded = n_blocks * R
+    pix = jnp.arange(padded, dtype=jnp.int32)
+    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks, 1, R)
+    ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
+
+    kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
+                          scene.num_lights, scene.kinds_present, light_mode)
+
+    blk = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(  # noqa: E731
+        x.shape, lambda i: tuple(0 for _ in x.shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.float32)
+    rad_r, rad_g, rad_b, rays = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[blk, full(bounds), full(woop_t), full(attr3), full(light),
+                  smem, smem],
+        out_specs=[blk, blk, blk, blk],
+        out_shape=[out_shape, out_shape, out_shape,
+                   jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pix, bounds, woop_t, attr3, light, camv, ts)
+
+    rad = jnp.stack(
+        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
+    )[:n_pixels]
+    nrays = jnp.sum(rays.reshape(-1)[:n_pixels].astype(jnp.float32))
+    img = (rad / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return img, nrays
