@@ -682,7 +682,7 @@ def _uniform_mod(bits, n: int):
 
 def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                      pick_light, sel_pdf_of_hit, fresh, pix, spp,
-                     modulate=None):
+                     modulate=None, sync_regen: bool = False):
     """The shared per-bounce shading + MIS/RR/regeneration state machine.
 
     Both persistent kernels (this module's brute-force one and
@@ -885,7 +885,13 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         # (path_tracer.trace_wavefront body)
         depth = bounce + 1
         done = (st["done"] != 0) | (depth >= jnp.uint32(cfg.max_depth + 1))
-        regen = done & (st["sample"] + 1 < spp)
+        if sync_regen:
+            # block-synchronous sampling: every lane waits for the whole
+            # block, then all regenerate together — live lanes share a depth,
+            # keeping the traversal's bin union per-depth-tight
+            regen = jnp.all(done) & (st["sample"] + 1 < spp)
+        else:
+            regen = done & (st["sample"] + 1 < spp)
         new_sample = jnp.where(regen, st["sample"] + 1, st["sample"])
         o_n, d_n, seed_n = fresh(new_sample)
         st["ox"] = jnp.where(regen, o_n[0], st["ox"])

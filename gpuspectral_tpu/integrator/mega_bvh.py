@@ -181,11 +181,14 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 act = tn + vis
                 return jnp.where(act < bt, act, _BIG)
 
+            cap = cfg.debug_rounds_cap
+
             def cond(st):
-                return st[0] < _BIG
+                ok = st[0] < _BIG
+                return ok if not cap else ok & (st[7] < cap)
 
             def body(st):
-                mn, binv, vis, bt, bu, bv, battr = st
+                mn, binv, vis, bt, bu, bv, battr = st[:7]
                 base = binv * slots
                 for c in range(chunks):
                     off = base + c * LANES
@@ -213,15 +216,15 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                     battr = jnp.where(improved, attr_new, battr)
                 vis = jnp.where(col == binv, _BIG, vis)
                 mn, binv = _next_bin(candidates(vis, bt))
-                return mn, binv, vis, bt, bu, bv, battr
+                return (mn, binv, vis, bt, bu, bv, battr, st[7] + 1)
 
             vis0 = jnp.zeros((1, c_pad), jnp.float32)
             bt0 = jnp.minimum(tmaxT, _BIG)
             mn0, binv0 = _next_bin(candidates(vis0, bt0))
             z1 = jnp.zeros((R, 1), jnp.float32)
             init = (mn0, binv0, vis0, bt0, z1, z1,
-                    jnp.zeros((R, _NA), jnp.float32))
-            _, _, _, bt, bu, bv, battr = jax.lax.while_loop(cond, body, init)
+                    jnp.zeros((R, _NA), jnp.float32), jnp.int32(0))
+            _, _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
             hitT = bt < jnp.minimum(tmaxT, _BIG)
             battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
             attrs = tuple(battr[i:i + 1, :] for i in range(_NA))
@@ -246,11 +249,14 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 act = tn + vis + occ
                 return jnp.where(act < _BIG, act, _BIG)
 
+            cap = cfg.debug_rounds_cap
+
             def cond(st):
-                return st[0] < _BIG
+                ok = st[0] < _BIG
+                return ok if not cap else ok & (st[4] < cap)
 
             def body(st):
-                mn, binv, vis, occ = st
+                mn, binv, vis, occ = st[:4]
                 base = binv * slots
                 hit_any = jnp.zeros((R, 1), jnp.float32)
                 for c in range(chunks):
@@ -263,13 +269,13 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 occ = jnp.maximum(occ, hit_any * _BIG)
                 vis = jnp.where(col == binv, _BIG, vis)
                 mn, binv = _next_bin(candidates(vis, occ))
-                return mn, binv, vis, occ
+                return (mn, binv, vis, occ, st[4] + 1)
 
             vis0 = jnp.zeros((1, c_pad), jnp.float32)
             occ0 = jnp.zeros((R, 1), jnp.float32)
             mn0, binv0 = _next_bin(candidates(vis0, occ0))
-            _, _, _, occ = jax.lax.while_loop(
-                cond, body, (mn0, binv0, vis0, occ0))
+            _, _, _, occ, _ = jax.lax.while_loop(
+                cond, body, (mn0, binv0, vis0, occ0, jnp.int32(0)))
             return _t(occ) > 0.0
 
         lrow = jax.lax.broadcasted_iota(
@@ -305,6 +311,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             sel_pdf_of_hit=sel_pdf_of_hit,
             fresh=fresh,
             pix=pix, spp=spp,
+            sync_regen=cfg.mega_sync_regen,
         )
 
         o0, d0, seed0 = fresh(jnp.uint32(0))
@@ -424,10 +431,24 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
         scene, light_mode)
     n_pixels = cfg.width * cfg.height
-    n_blocks = -(-n_pixels // R)
-    padded = n_blocks * R
-    pix = jnp.arange(padded, dtype=jnp.int32)
-    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks, 1, R)
+    # blocks are 8x16 PIXEL TILES, not 1x128 raster strips: a tile's bounce
+    # rays share ~2.8x less AABB perimeter, keeping the block's front-to-back
+    # bin union small (tools/sim_bins.py).  Out-of-image lanes of edge tiles
+    # re-render pixel 0 (identical work, identical value — scatter-safe).
+    import numpy as np
+
+    TH, TW = 8, 16
+    nty, ntx = -(-cfg.height // TH), -(-cfg.width // TW)
+    Y = (np.arange(nty)[:, None, None, None] * TH
+         + np.arange(TH)[None, None, :, None])
+    X = (np.arange(ntx)[None, :, None, None] * TW
+         + np.arange(TW)[None, None, None, :])
+    Y = np.broadcast_to(Y, (nty, ntx, TH, TW))
+    X = np.broadcast_to(X, (nty, ntx, TH, TW))
+    valid = (Y < cfg.height) & (X < cfg.width)
+    pix_np = np.where(valid, Y * cfg.width + X, 0).astype(np.int32)
+    n_blocks = nty * ntx
+    pix = jnp.asarray(pix_np.reshape(n_blocks, 1, R))
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
@@ -451,9 +472,12 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
         interpret=interpret,
     )(pix, bounds, woop_t, attr3, light, camv, ts)
 
-    rad = jnp.stack(
-        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
-    )[:n_pixels]
-    nrays = jnp.sum(rays.reshape(-1)[:n_pixels].astype(jnp.float32))
+    pix_flat = pix.reshape(-1)
+    valid_flat = jnp.asarray(valid.reshape(-1))
+    scatter = lambda x: (  # noqa: E731
+        jnp.zeros((n_pixels,), x.dtype).at[pix_flat].set(x.reshape(-1)))
+    rad = jnp.stack([scatter(rad_r), scatter(rad_g), scatter(rad_b)], axis=-1)
+    nrays = jnp.sum(jnp.where(valid_flat, rays.reshape(-1), 0)
+                    .astype(jnp.float32))
     img = (rad / cfg.spp).reshape(cfg.height, cfg.width, 3)
     return img, nrays

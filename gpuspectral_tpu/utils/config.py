@@ -69,6 +69,17 @@ class RenderConfig:
     # approximation that overcounts emitter hits.  "exact" computes the true
     # light pdf of the actual BSDF-ray hit point, converging to ground truth.
     mis_mode: str = "reference"
+    # --- fused-BVH megakernel (integrator/mega_bvh.py) knobs ---
+    # block-synchronous sample regeneration: a block starts sample s+1 only
+    # once ALL its lanes finished sample s.  Trades lane occupancy for
+    # traversal coherence (every live lane sits at the same depth, so the
+    # block's front-to-back bin union stays per-depth-tight)
+    mega_sync_regen: bool = False
+    # debug: cap front-to-back traversal rounds per query (0 = exact).  A
+    # nonzero cap biases the image (misses hits in unswept bins) — perf
+    # probing only: the time-vs-cap curve separates per-round cost from
+    # effective round count
+    debug_rounds_cap: int = 0
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
