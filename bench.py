@@ -51,9 +51,9 @@ def main() -> int:
         except Exception as e:  # keep the headline even if the BVH row fails
             detail["staircase2"] = {"error": str(e)[:300]}
 
-    # 3. gradient-step throughput (path-replay backprop)
+    # 3. gradient-step throughput (path-replay backprop), median of 3
     try:
-        detail["grad"] = run_grad_benchmark(cornell, steps=1)
+        detail["grad"] = run_grad_benchmark(cornell, steps=3)
     except Exception as e:
         detail["grad"] = {"error": str(e)[:300]}
 

@@ -682,7 +682,8 @@ def _uniform_mod(bits, n: int):
 
 def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                      pick_light, sel_pdf_of_hit, fresh, pix, spp,
-                     modulate=None, sync_regen: bool = False):
+                     modulate=None, sync_regen: bool = False,
+                     grad_hook=None):
     """The shared per-bounce shading + MIS/RR/regeneration state machine.
 
     Both persistent kernels (this module's brute-force one and
@@ -754,7 +755,9 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         transmission = kind == BSDF_SMOOTH_DIELECTRIC
 
         # --- light sampling ---
-        lv0, lv1, lv2, lemit, select_pdf = pick_light(seed, bounce)
+        picked = pick_light(seed, bounce)
+        lv0, lv1, lv2, lemit, select_pdf = picked[:5]
+        lidx = picked[5] if len(picked) > 5 else None  # for grad_hook only
         lu1 = _uniform(seed, bounce, _CH_LIGHT_U1)
         lu2 = _uniform(seed, bounce, _CH_LIGHT_U2)
         # ops/sampling.py:sample_triangle_light
@@ -813,19 +816,14 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
             w_emit = jnp.where(
                 st["prev_nee"] != 0, _power_heuristic(st["prev_pdf"], pdf_hit), 1.0
             )
-            scale_first = jnp.where((~ce) & (~wd), w_emit, 1.0)
-            e_r = e_r + scale_first * se_r
-            e_g = e_g + scale_first * se_g
-            e_b = e_b + scale_first * se_b
+            emit_w = jnp.where((~ce) & (~wd), w_emit, 1.0)
         elif cfg.nee:
-            scale_first = jnp.where((~ce) & (~wd), st["direct_weight"], 1.0)
-            e_r = e_r + scale_first * se_r
-            e_g = e_g + scale_first * se_g
-            e_b = e_b + scale_first * se_b
+            emit_w = jnp.where((~ce) & (~wd), st["direct_weight"], 1.0)
         else:
-            e_r = e_r + se_r
-            e_g = e_g + se_g
-            e_b = e_b + se_b
+            emit_w = 1.0
+        e_r = e_r + emit_w * se_r
+        e_g = e_g + emit_w * se_g
+        e_b = e_b + emit_w * se_b
         e_r = jnp.where(hit, e_r, 0.0)
         e_g = jnp.where(hit, e_g, 0.0)
         e_b = jnp.where(hit, e_b, 0.0)
@@ -868,6 +866,16 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         st["rad_r"] = st["rad_r"] + jnp.where(acc, e_r, 0.0)
         st["rad_g"] = st["rad_g"] + jnp.where(acc, e_g, 0.0)
         st["rad_b"] = st["rad_b"] + jnp.where(acc, e_b, 0.0)
+
+        if grad_hook is not None:
+            # path-replay backprop hook (integrator/mega_grad.py): sees this
+            # bounce's contribution pieces + pre-update throughput, updates
+            # its own grad-accumulator planes carried in `st`
+            st = grad_hook(st, dict(
+                a=a, weight=weight, hit=hit, alive=alive, acc=acc, cont=cont,
+                nee_done=nee_done, nee_s=nee_s, f_light=f_light,
+                lfront=lfront, lemit=lemit, lidx=lidx, emit_w=emit_w,
+                light_flag=light_flag, e=(e_r, e_g, e_b)))
 
         if_rr = bounce > jnp.uint32(cfg.rr_start_depth)
         q = jnp.clip(jnp.maximum(jnp.maximum(st["wr"], st["wg"]), st["wb"]),
@@ -1093,7 +1101,7 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             lr = gather_light(lidx)
             return ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
                     (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
-                    1.0 / n_lights)
+                    1.0 / n_lights, lidx)
 
         body = make_bounce_body(
             cfg, present,

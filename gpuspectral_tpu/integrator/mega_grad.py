@@ -1,0 +1,412 @@
+"""Path-replay backward kernel for the brute-force megakernel.
+
+The declared metric is grad-steps/s (BASELINE.json); round 2 measured the
+XLA-wavefront gradient at 42x the megakernel forward because the megakernel
+was forward-only.  This module gives `render_mega` a custom_vjp whose
+backward is a SECOND persistent Pallas kernel: it replays every path with
+the same counter-based RNG (ops/rng.py — replay is bit-exact by
+construction, the property path-replay backprop needs; Vicini et al. 2021)
+and accumulates parameter gradients in VMEM planes, reduced once per block.
+
+Scope (gated by `mega_grad_eligible`): diffuse-only scenes — exactly the
+headline Cornell gradient config — with gradients for
+
+  * diffuse albedo  (bsdf_params[:, 0:3]),
+  * emitter radiance (tri_emission of emissive triangles + light_emission),
+
+the north-star inverse-rendering parameters.  For a multiplicative
+throughput parameter the adjoint needs no stored tape: with n_b = number of
+prior bounces on BSDF row b, dW_k/dkd_b = n_b * W_k / kd_b, so one forward
+replay suffices (the `n_b` counting identity).  Sampling pdfs and ray
+geometry are kd-independent for diffuse (cosine sampling), so these
+gradients equal full autodiff's — finite-difference-checked in
+tests/test_mega_grad.py.  Depth is gated to <= rr_start_depth: Russian
+roulette's 1/q reweight does depend on kd, a term this estimator drops.
+
+Everything else (rough BSDFs, textures, BVH scenes, deep RR paths) falls
+back to the XLA-wavefront differentiable path (diff/, grad_remat).
+
+kd at exactly 0 is a removable singularity of the counting identity
+(suffix radiance is 0 but its kd-derivative is not); the division is
+clamped at 1e-4.  Inverse rendering reparameterizes through sigmoids
+(diff/invert.py), so the clamp is never active there.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bsdf.table import BSDF_DIFFUSE
+from ..ops import rng
+from ..scene.data import SceneData
+from ..utils.config import RenderConfig
+from .mega import (
+    _BIG,
+    _CH_JITTER_X,
+    _CH_JITTER_Y,
+    _CH_LIGHT_INDEX,
+    _NA,
+    BLOCK,
+    LANES,
+    SUB,
+    _fdivmod_exact,
+    _pack_tables,
+    _u2f,
+    _uniform,
+    _uniform_mod,
+    make_bounce_body,
+    mega_eligible,
+    render_mega,
+)
+
+M_PI = float(np.pi)
+
+MAX_GRAD_BSDFS = 8
+MAX_GRAD_LIGHTS = 4
+_KD_EPS = 1e-4  # clamp for the removable kd=0 singularity (module docstring)
+
+
+def mega_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
+    return (
+        mega_eligible(scene, cfg)
+        and scene.kinds_present == (BSDF_DIFFUSE,)
+        and scene.bsdf_kind.shape[0] <= MAX_GRAD_BSDFS
+        and scene.num_lights <= MAX_GRAD_LIGHTS
+        and cfg.max_depth <= cfg.rr_start_depth
+    )
+
+
+def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
+                      n_bsdfs: int):
+    """The replay kernel: mega.py's kernel plus cotangent inputs, gradient
+    planes threaded through the shared bounce body via grad_hook, and a
+    block-level reduction into one output lane-vector.
+
+    Output entry layout (lane index): [0, 3B) = d kd (row-major b, c);
+    [3B, 3B+3L) = d tri_emission of light l's triangle; [3B+3L, 3B+6L) =
+    d light_emission."""
+    width, height = cfg.width, cfg.height
+    spp = cfg.spp
+    max_iters = spp * (cfg.max_depth + 1)
+    B, L = n_bsdfs, n_lights
+
+    def kernel(pix_ref, woop_ref, attr_ref, light_ref, cam_ref, ts_ref,
+               g_r_ref, g_g_ref, g_b_ref, kd_ref, grads_ref):
+        t0 = ts_ref[0, 0]
+        pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
+        g_pix = (g_r_ref[:], g_g_ref[:], g_b_ref[:])
+        zf = jnp.zeros((SUB, LANES), jnp.float32)
+        zi = jnp.zeros((SUB, LANES), jnp.int32)
+        oi = jnp.ones((SUB, LANES), jnp.int32)
+
+        r00, r01, r02 = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        r10, r11, r12 = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        r20, r21, r22 = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        cox, coy, coz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        fov = cam_ref[0, 12]
+        zplane = (max(width, height) / 2.0) / jnp.tan(fov / 2.0)
+
+        def fresh(sample):
+            # identical replay raygen (mega.py kernel `fresh`)
+            seed = rng.pixel_seed(pix, t0 + sample)
+            py, px = _fdivmod_exact(_u2f(pix), width)
+            if cfg.jitter:
+                px = px + _uniform(seed, jnp.uint32(0xFFFF), _CH_JITTER_X)
+                py = py + _uniform(seed, jnp.uint32(0xFFFF), _CH_JITTER_Y)
+            xx = px - width / 2.0
+            yy = py - height / 2.0
+            inv = jax.lax.rsqrt(xx * xx + yy * yy + zplane * zplane)
+            dcx, dcy, dcz = -xx * inv, -yy * inv, zplane * inv
+            dwx = r00 * dcx + r01 * dcy + r02 * dcz
+            dwy = r10 * dcx + r11 * dcy + r12 * dcz
+            dwz = r20 * dcx + r21 * dcy + r22 * dcz
+            o = (jnp.zeros_like(dwx) + cox, jnp.zeros_like(dwy) + coy,
+                 jnp.zeros_like(dwz) + coz)
+            return o, (dwx, dwy, dwz), seed
+
+        def _woop_test(ti, o, d, t_lo, t_hi):
+            ax0, ax1, ax2 = woop_ref[0, ti], woop_ref[1, ti], woop_ref[2, ti]
+            ay0, ay1, ay2 = woop_ref[3, ti], woop_ref[4, ti], woop_ref[5, ti]
+            az0, az1, az2 = woop_ref[6, ti], woop_ref[7, ti], woop_ref[8, ti]
+            bx, by, bz = woop_ref[9, ti], woop_ref[10, ti], woop_ref[11, ti]
+            opz = o[0] * az0 + o[1] * az1 + o[2] * az2 + bz
+            dpz = d[0] * az0 + d[1] * az1 + d[2] * az2
+            live = jnp.abs(dpz) > 1e-12
+            t = -opz / jnp.where(live, dpz, 1.0)
+            px = o[0] + t * d[0]
+            py = o[1] + t * d[1]
+            pz = o[2] + t * d[2]
+            u = px * ax0 + py * ax1 + pz * ax2 + bx
+            v = px * ay0 + py * ay1 + pz * ay2 + by
+            hit = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_lo) & (t < t_hi)
+            return t, u, v, hit
+
+        def intersect_closest(o, d, alive):
+            t_max0 = jnp.where(alive, _BIG, -_BIG)
+
+            def tri(ti, carry):
+                best_t, best_prim, best_u, best_v = carry
+                t, u, v, hit = _woop_test(ti, o, d, 0.0, t_max0)
+                closer = hit & (t < best_t)
+                return (
+                    jnp.where(closer, t, best_t),
+                    jnp.where(closer, ti, best_prim),
+                    jnp.where(closer, u, best_u),
+                    jnp.where(closer, v, best_v),
+                )
+
+            init = (jnp.full((SUB, LANES), _BIG, jnp.float32),
+                    jnp.full((SUB, LANES), -1, jnp.int32), zf, zf)
+            return jax.lax.fori_loop(0, n_tris, tri, init)
+
+        def intersect_any(o, d, t_min, t_max, active):
+            t_max = jnp.where(active, t_max, -1.0)
+
+            def tri(ti, occ):
+                _t, _u, _v, hit = _woop_test(ti, o, d, t_min, t_max)
+                return jnp.where(hit, 1, occ)
+
+            return jax.lax.fori_loop(0, n_tris, tri, zi) != 0
+
+        def gather_attrs(prim):
+            def tri(ti, acc):
+                sel = prim == ti
+                return tuple(
+                    jnp.where(sel, attr_ref[c, ti], acc[c]) for c in range(_NA + 1)
+                )
+
+            init = tuple(zf for _ in range(_NA + 1))
+            return jax.lax.fori_loop(0, n_tris, tri, init)
+
+        def gather_light(lidx):
+            def li(ti, acc):
+                sel = lidx == ti
+                return tuple(
+                    jnp.where(sel, light_ref[c, ti], acc[c]) for c in range(12)
+                )
+
+            init = tuple(zf for _ in range(12))
+            return jax.lax.fori_loop(0, n_lights, li, init)
+
+        def closest(o, d, alive):
+            t, prim, bu, bv = intersect_closest(o, d, alive)
+            return t, (prim >= 0) & alive, bu, bv, gather_attrs(prim)
+
+        def pick_light(seed, bounce):
+            lbits = rng.random_bits(seed, bounce, _CH_LIGHT_INDEX)
+            lidx = _uniform_mod(lbits, n_lights)
+            lr = gather_light(lidx)
+            return ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
+                    (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
+                    1.0 / n_lights, lidx)
+
+        b2f = lambda b: jnp.where(b, 1.0, 0.0)  # noqa: E731
+
+        def grad_hook(st, ctx):
+            a = ctx["a"]
+            W = ctx["weight"]
+            accf = b2f(ctx["acc"])
+            hitm = accf * b2f(ctx["hit"])
+            neem = accf * b2f(ctx["nee_done"]) * ctx["lfront"]
+            bidx = jnp.round(a[_NA]).astype(jnp.int32)  # appended bsdf row
+            lhit = jnp.round(a[13]).astype(jnp.int32)
+            emit_coeff = ctx["emit_w"] * ctx["light_flag"]
+            nee_s = ctx["nee_s"]
+            e = ctx["e"]
+            st = dict(st)
+            # counts are per-SAMPLE: a lane at depth 0 just started a fresh
+            # path (regeneration reset), so its prior-factor counts are zero
+            fresh_path = st["depth"] == 0
+            for b in range(B):
+                selb = b2f(bidx == b)
+                nbi = jnp.where(fresh_path, 0, st[f"n_{b}"])
+                nb = nbi.astype(jnp.float32)
+                for c in range(3):
+                    # suffix: this bounce's contribution through the n_b
+                    # prior kd_b factors of W; direct: this bounce's NEE
+                    # f_light = kd/pi
+                    direct = neem * selb * nee_s * W[c] * ctx["lemit"][c] / M_PI
+                    suffix = accf * e[c] * nb / jnp.maximum(kd_ref[b, c], _KD_EPS)
+                    st[f"gkd_{b}_{c}"] = st[f"gkd_{b}_{c}"] + g_pix[c] * (
+                        direct + suffix)
+                st[f"n_{b}"] = nbi + jnp.where(
+                    ctx["cont"] & (bidx == b), 1, 0)
+            for li in range(L):
+                sel_hit = hitm * b2f(lhit == li)
+                sel_nee = neem * b2f(ctx["lidx"] == li)
+                for c in range(3):
+                    # d e/d tri_emission[tri(l), c] (emitter-hit term)
+                    st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + (
+                        g_pix[c] * sel_hit * emit_coeff * W[c])
+                    # d e/d light_emission[l, c] (NEE term)
+                    st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + (
+                        g_pix[c] * sel_nee * nee_s * ctx["f_light"][c] * W[c])
+            return st
+
+        body = make_bounce_body(
+            cfg, (BSDF_DIFFUSE,),
+            closest=closest,
+            any_hit=intersect_any,
+            pick_light=pick_light,
+            sel_pdf_of_hit=lambda a: 1.0 / n_lights,
+            fresh=fresh,
+            pix=pix, spp=spp,
+            grad_hook=grad_hook,
+        )
+
+        o0, d0, seed0 = fresh(jnp.uint32(0))
+        state = dict(
+            ox=o0[0], oy=o0[1], oz=o0[2],
+            dx=d0[0], dy=d0[1], dz=d0[2],
+            wr=jnp.ones((SUB, LANES), jnp.float32),
+            wg=jnp.ones((SUB, LANES), jnp.float32),
+            wb=jnp.ones((SUB, LANES), jnp.float32),
+            direct_weight=jnp.ones((SUB, LANES), jnp.float32),
+            prev_pdf=jnp.ones((SUB, LANES), jnp.float32),
+            prev_nee=zi,
+            was_delta=zi,
+            count_emitted=oi,
+            done=zi,
+            rad_r=zf, rad_g=zf, rad_b=zf,
+            rays=zi,
+            seed=seed0,
+            depth=jnp.zeros((SUB, LANES), jnp.uint32),
+            sample=jnp.zeros((SUB, LANES), jnp.uint32),
+            it=jnp.int32(0),
+        )
+        for b in range(B):
+            state[f"n_{b}"] = zi
+            for c in range(3):
+                state[f"gkd_{b}_{c}"] = zf
+        for li in range(L):
+            for c in range(3):
+                state[f"gte_{li}_{c}"] = zf
+                state[f"gle_{li}_{c}"] = zf
+
+        def cond(st):
+            exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
+            return (st["it"] < max_iters) & (~jnp.all(exhausted))
+
+        state = jax.lax.while_loop(cond, body, state)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out = jnp.zeros((1, 128), jnp.float32)
+        idx = 0
+        for b in range(B):
+            for c in range(3):
+                out = jnp.where(lane == idx, jnp.sum(state[f"gkd_{b}_{c}"]), out)
+                idx += 1
+        for li in range(L):
+            for c in range(3):
+                out = jnp.where(lane == idx, jnp.sum(state[f"gte_{li}_{c}"]), out)
+                idx += 1
+        for li in range(L):
+            for c in range(3):
+                out = jnp.where(lane == idx, jnp.sum(state[f"gle_{li}_{c}"]), out)
+                idx += 1
+        grads_ref[0] = out
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
+                   interpret: bool = False):
+    """Run the replay kernel; returns (d_bsdf_params, d_tri_emission,
+    d_light_emission) summed over all blocks."""
+    woop_t, attr, light, camv = _pack_tables(scene)
+    # appended row: bsdf table index per triangle (the grad scatter key)
+    attr = jnp.concatenate(
+        [attr, scene.tri_bsdf[None, :].astype(jnp.float32)], axis=0)
+    B = scene.bsdf_kind.shape[0]
+    L = scene.num_lights
+    kd = scene.bsdf_params[:, 0:3]
+
+    n_pixels = cfg.width * cfg.height
+    n_blocks = -(-n_pixels // BLOCK)
+    padded = n_blocks * BLOCK
+    pix = jnp.arange(padded, dtype=jnp.int32)
+    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES)
+    # cotangent planes; img = rad/spp, so d rad = g/spp.  Padding lanes
+    # re-render pixel 0 — zero their cotangent so they contribute nothing.
+    gflat = jnp.concatenate(
+        [g.reshape(n_pixels, 3) / cfg.spp,
+         jnp.zeros((padded - n_pixels, 3), jnp.float32)])
+    gp = gflat.reshape(n_blocks * SUB, LANES, 3)
+    ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
+
+    kernel = _make_grad_kernel(cfg, scene.num_tris, L, B)
+    blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    grads = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[blk, smem, smem, smem, smem, smem, blk, blk, blk, smem],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, 128), jnp.float32),
+        interpret=interpret,
+    )(pix, woop_t, attr, light, camv, ts,
+      gp[..., 0], gp[..., 1], gp[..., 2], kd)
+
+    tot = jnp.sum(grads.reshape(n_blocks, 128), axis=0)  # (128,)
+    d_kd = tot[: 3 * B].reshape(B, 3)
+    d_te_l = tot[3 * B: 3 * B + 3 * L].reshape(L, 3)
+    d_le = tot[3 * B + 3 * L: 3 * B + 6 * L].reshape(L, 3)
+
+    d_bp = jnp.zeros_like(scene.bsdf_params).at[:, 0:3].set(d_kd)
+    # scatter per-light emitter-hit grads onto each light's triangle(s):
+    # lights are per-triangle (Loader.cpp:316-330), but be robust to several
+    # tris sharing a light row — the derivative applies to each member
+    d_te = d_te_l[jnp.maximum(scene.tri_light_idx, 0)]
+    d_te = jnp.where((scene.tri_light_idx >= 0)[:, None], d_te, 0.0)
+    return d_bp, d_te, d_le
+
+
+def _zero_cotangent(tree):
+    def z(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
+@lru_cache(maxsize=None)
+def _diff_fn(cfg: RenderConfig, interpret: bool):
+    @jax.custom_vjp
+    def f(bp, te, le, scene_rest, ts):
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        return render_mega(sc, cfg, ts, interpret=interpret)[0]
+
+    def fwd(bp, te, le, scene_rest, ts):
+        return f(bp, te, le, scene_rest, ts), (bp, te, le, scene_rest, ts)
+
+    def bwd(res, g):
+        bp, te, le, scene_rest, ts = res
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        d_bp, d_te, d_le = _mega_backward(sc, cfg, ts, g, interpret=interpret)
+        return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
+                np.zeros(jnp.shape(ts), jax.dtypes.float0))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_mega_diff(scene: SceneData, cfg: RenderConfig, timestamp0=0,
+                     interpret: bool = False):
+    """Differentiable megakernel render: (H, W, 3) image whose vjp runs the
+    path-replay backward kernel (gradients w.r.t. bsdf_params kd columns,
+    tri_emission, light_emission; zeros elsewhere)."""
+    f = _diff_fn(cfg, interpret)
+    sg = jax.lax.stop_gradient
+    return f(scene.bsdf_params, scene.tri_emission, scene.light_emission,
+             sg(scene), jnp.asarray(timestamp0, jnp.uint32))

@@ -79,8 +79,24 @@ def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
     n_pixels = size * size
     target = jnp.zeros((n_pixels, 3), jnp.float32)
 
+    from ..integrator.mega_grad import mega_grad_eligible, render_mega_diff
+
+    if mega_grad_eligible(scene, cfg) and jax.default_backend() == "tpu":
+        # fused path-replay kernels: forward = megakernel, backward = replay
+        # kernel (integrator/mega_grad.py)
+        @jax.jit
+        def grad_step(params, ts):
+            def loss(p):
+                sc = scene.replace(bsdf_params=p)
+                img = render_mega_diff(sc, cfg, ts).reshape(n_pixels, 3)
+                return jnp.mean((img - target) ** 2)
+
+            return jax.value_and_grad(loss)(params)
+    else:
+        grad_step = None
+
     @jax.jit
-    def grad_step(params, ts):
+    def grad_step_xla(params, ts):
         def loss(p):
             sc = scene.replace(bsdf_params=p)
             nb = n_pixels // ray_batch
@@ -103,6 +119,9 @@ def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
             return jnp.mean((img - target) ** 2)
 
         return jax.value_and_grad(loss)(params)
+
+    if grad_step is None:
+        grad_step = grad_step_xla
 
     t0 = time.time()
     _, g = grad_step(scene.bsdf_params, jnp.uint32(0))
