@@ -72,8 +72,14 @@ LANES = 128
 R = 128  # rays per block (= LANES; one (1,128) plane per state variable)
 
 # attr rows: 0-30 as mega._pack_tables, 31 = light-selection pdf of this
-# triangle's emitter (0 for non-emissive; used by exact-MIS BSDF-hit weights)
+# triangle's emitter (0 for non-emissive; used by exact-MIS BSDF-hit weights);
+# textured scenes append rows 32-40 = per-CORNER texture color (rgb x 3
+# corners), barycentrically blended in-kernel and multiplied into the
+# reflectance params — vertex-sampled texturing.  (The reference never
+# samples textures at all, rayhit.rchit; the wavefront does per-hit nearest
+# lookups — tests compare the two paths with tolerance on textured scenes.)
 _NA = 32
+_NA_TEX = 41
 
 # VMEM the scene tables may occupy (woop + attr + bounds + lights); the rest
 # of the ~16 MB core budget goes to the entry matrix and temporaries.
@@ -99,7 +105,8 @@ def _inv_dir1(dx):
 
 
 def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
-                 n_lights: int, present: tuple, light_mode: str):
+                 n_lights: int, present: tuple, light_mode: str,
+                 n_attr: int = _NA):
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
@@ -223,11 +230,11 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             mn0, binv0 = _next_bin(candidates(vis0, bt0))
             z1 = jnp.zeros((R, 1), jnp.float32)
             init = (mn0, binv0, vis0, bt0, z1, z1,
-                    jnp.zeros((R, _NA), jnp.float32), jnp.int32(0))
+                    jnp.zeros((R, n_attr), jnp.float32), jnp.int32(0))
             _, _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
             hitT = bt < jnp.minimum(tmaxT, _BIG)
             battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
-            attrs = tuple(battr[i:i + 1, :] for i in range(_NA))
+            attrs = tuple(battr[i:i + 1, :] for i in range(n_attr))
             # transpose bools as f32 (Mosaic has no i1 transpose)
             hit = _t(jnp.where(hitT, 1.0, 0.0)) > 0.5
             return (_t(jnp.where(hitT, bt, _BIG)), hit, _t(bu), _t(bv), attrs)
@@ -303,6 +310,19 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         else:
             sel_pdf_of_hit = lambda a: 1.0 / n_lights  # noqa: E731
 
+        if n_attr == _NA_TEX:
+            def modulate(p, a, bu, bv):
+                # barycentric blend of baked per-corner texture colors into
+                # the reflectance params (path_tracer._texture_modulation's
+                # role, vertex-sampled)
+                bw = 1.0 - bu - bv
+                tr = bw * a[32] + bu * a[35] + bv * a[38]
+                tg = bw * a[33] + bu * a[36] + bv * a[39]
+                tb = bw * a[34] + bu * a[37] + bv * a[40]
+                return (p[0] * tr, p[1] * tg, p[2] * tb) + tuple(p[3:])
+        else:
+            modulate = None
+
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -311,6 +331,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             sel_pdf_of_hit=sel_pdf_of_hit,
             fresh=fresh,
             pix=pix, spp=spp,
+            modulate=modulate,
             sync_regen=cfg.mega_sync_regen,
         )
 
@@ -373,10 +394,23 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str):
     else:
         lp = jnp.where(scene.tri_light_idx >= 0, 1.0 / scene.num_lights, 0.0)
     attr = jnp.concatenate([attr, lp[None, :]], axis=0)  # (_NA, T)
+    if scene.has_textures:
+        # rows 32-40: per-corner texture colors (vertex-sampled texturing)
+        from .path_tracer import _texture_lookup
+
+        tex_id = scene.bsdf_tex[scene.tri_bsdf]
+        zeros = jnp.zeros((scene.tri_uv.shape[0],), jnp.float32)
+        corners = []
+        for bu_, bv_ in ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0)):
+            c = _texture_lookup(scene, scene.tri_uv, tex_id,
+                                zeros + bu_, zeros + bv_)
+            corners.append(c.T)  # (3, T)
+        attr = jnp.concatenate([attr] + corners, axis=0)
+    n_attr = attr.shape[0]
     t = attr.shape[1]
     if t < need:
         attr = jnp.pad(attr, ((0, 0), (0, need - t)))
-    attr3 = attr[:, :need].T.reshape(need // 128, 128, _NA).transpose(0, 2, 1)
+    attr3 = attr[:, :need].T.reshape(need // 128, 128, n_attr).transpose(0, 2, 1)
 
     # light table (L8, 16): 0-8 verts, 9-11 emission, 12 select pdf,
     # 13 cdf_hi (last real row 2.0), 14 cdf_lo (first row -1.0)
@@ -405,7 +439,8 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str):
 
 def mega_bvh_table_bytes(scene: SceneData) -> int:
     need = scene.bvh_bins * scene.bvh_bin_slots
-    return 4 * (need * (12 + _NA) + scene.bvh_bins * 128 * 2
+    na = _NA_TEX if scene.has_textures else _NA
+    return 4 * (need * (12 + na) + scene.bvh_bins * 128 * 2
                 + scene.num_lights * 128)
 
 
@@ -413,8 +448,7 @@ def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Whether the fused BVH megakernel covers this (scene, config)."""
     return (
         cfg.use_bvh
-        and not scene.has_textures  # v1: no in-kernel texture modulation
-        and not scene.has_envmap
+        and not scene.has_envmap  # env NEE/miss shading: wavefront path
         and cfg.light_sampling in ("uniform", "power")
         and scene.num_tris > 0
         and scene.num_lights < (1 << 16)
@@ -452,7 +486,8 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
-                          scene.num_lights, scene.kinds_present, light_mode)
+                          scene.num_lights, scene.kinds_present, light_mode,
+                          n_attr=attr3.shape[1])
 
     blk = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda x: pl.BlockSpec(  # noqa: E731

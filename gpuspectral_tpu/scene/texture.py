@@ -41,8 +41,13 @@ def make_checkerboard(
 
 
 def missing_texture() -> np.ndarray:
-    """Magenta/black checker for unresolvable texture files."""
-    return make_checkerboard((1.0, 0.0, 1.0), (0.0, 0.0, 0.0), 8, 8)
+    """Neutral white tile for unresolvable texture files: modulation 1.0
+    reproduces the reference's effective shading (it never samples textures
+    at all — rayhit.rchit has no sampler), so a scene with missing bitmaps
+    renders as if untextured instead of screaming debug-magenta into every
+    indirect bounce (a magenta/black checker here measured +0.12 golden rel
+    error on living-room, whose WoodFloor.jpg is absent from the repo)."""
+    return np.ones((TEX_RES, TEX_RES, 3), np.float32)
 
 
 def load_texture_element(elem, parent_dir: str) -> np.ndarray | None:

@@ -75,6 +75,23 @@ def test_golden_coffee_vs_tungsten():
 
 
 @needs_ref
+def test_golden_test3_vs_tungsten():
+    """Config 3 (the reference app's default demo scene, main.cpp:20):
+    glossy roughconductor + dielectric spheres in a Cornell-like room.
+
+    The shipped assets are self-inconsistent: scene.xml references
+    sphere.obj twice, which is absent from the repo (the reference's own
+    loader would throw), and TungstenRender.exr was rendered from an OLDER
+    revision whose cube shapes are now commented out — the ground truth
+    shows two boxes where the current XML places two spheres.  What remains
+    comparable (walls, area light, color bleed, energy scale) measures
+    rel ~0.37 at this config; camera/orientation/energy regressions measure
+    >0.44 (cf. staircase2 note), so the lenient gate still guards them."""
+    img, ref, rel = _golden("test3", 32, 32, spp=32, depth=8)
+    assert rel < 0.44, f"test3 relative golden error {rel:.3f}"
+
+
+@needs_ref
 def test_golden_living_room_vs_tungsten():
     img, ref, rel = _golden("living-room", 32, 18, spp=12, depth=8)
     # 7 OBJs + a texture missing from the reference assets; lenient gate

@@ -95,3 +95,42 @@ def test_timestamp_advances_samples(cornell_scene):
     a = np.asarray(render_mega_bvh(cornell_scene, cfg, 0, interpret=True)[0])
     b = np.asarray(render_mega_bvh(cornell_scene, cfg, 7, interpret=True)[0])
     assert np.abs(a - b).max() > 1e-4  # different progressive frames differ
+
+
+def test_textured_scene_vertex_sampling():
+    """mega_bvh bakes per-corner texture colors and blends barycentrically;
+    for a LINEAR texture (u-gradient) that equals the wavefront's per-hit
+    lookup up to texel quantization.  A constant-white texture is an exact
+    identity on both paths."""
+    import numpy as np
+
+    from gpuspectral_tpu.bsdf import table as bt
+    from gpuspectral_tpu.scene.data import SceneBuilder, TEX_RES
+    from gpuspectral_tpu.scene.obj import make_rectangle
+
+    def scene_with(tex):
+        b = SceneBuilder()
+        pos, nrm, uv = make_rectangle()
+        mat = b.add_bsdf(bt.diffuse((1.0, 1.0, 1.0)), texture=tex)
+        floor = np.array([[2, 0, 0, 0], [0, 0, 2, 0], [0, -1, 0, 0],
+                          [0, 0, 0, 1]], np.float32)
+        b.add_object(pos, nrm, uv, floor, mat, twofaced=True)
+        light = b.add_bsdf(bt.diffuse((0.0, 0.0, 0.0)))
+        lxf = np.array([[1, 0, 0, 0], [0, 0, -1, 3], [0, 1, 0, 0],
+                        [0, 0, 0, 1]], np.float32)
+        b.add_object(pos, nrm, uv, lxf, light, emission=(10.0, 10.0, 10.0))
+        b.set_camera(np.array([[-1, 0, 0, 0], [0, 1, 0, 1.2], [0, 0, -1, 4],
+                               [0, 0, 0, 1]], np.float32), np.deg2rad(60))
+        return b.build()
+
+    u = (np.arange(TEX_RES, dtype=np.float32) + 0.5) / TEX_RES
+    grad = np.broadcast_to(u[None, :, None], (TEX_RES, TEX_RES, 3)).copy()
+
+    cfg = _cfg(width=32, height=32, spp=4, max_depth=2, ray_batch=1024)
+    sc = scene_with(grad)
+    ref = np.asarray(render_image_stats(sc, cfg, jnp.uint32(0))[0])
+    got = np.asarray(render_mega_bvh(sc, cfg, 0, interpret=True)[0])
+    assert np.isfinite(got).all()
+    lit = ref.mean(-1) > 1e-4
+    rel = np.abs(got - ref).mean() / max(ref[lit].mean(), 1e-6)
+    assert rel < 0.02, rel
