@@ -50,7 +50,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metrics", default=None, help="write JSONL metrics to this file")
     p.add_argument("--profile", default=None, help="capture a jax profiler trace to this dir")
     p.add_argument(
-        "--intersector", default="auto", choices=["auto", "mega", "pallas", "woop", "mt"],
+        "--intersector", default="auto", choices=["auto", "mega", "mega_bvh", "pallas", "woop", "mt"],
         help="auto: fused megakernel on TPU when eligible, else Pallas/Woop",
     )
     p.add_argument(

@@ -14,14 +14,20 @@ def render_image_stats_auto(scene, cfg, timestamp0: int = 0):
     import jax.numpy as jnp
 
     from .mega import mega_eligible, render_mega
+    from .mega_bvh import mega_bvh_eligible, render_mega_bvh
     from .path_tracer import render_image_stats
 
+    interpret = jax.default_backend() != "tpu"
     forced = cfg.intersector == "mega"
     if mega_eligible(scene, cfg) and (
         forced or (cfg.intersector == "auto" and jax.default_backend() == "tpu")
     ):
-        interpret = jax.default_backend() != "tpu"
         return render_mega(scene, cfg, timestamp0, interpret=interpret)
+    # fused-BVH megakernel: forced via intersector="mega_bvh" (auto
+    # dispatch lands once its TPU throughput beats the wavefront across
+    # scene classes)
+    if cfg.intersector == "mega_bvh" and mega_bvh_eligible(scene, cfg):
+        return render_mega_bvh(scene, cfg, timestamp0, interpret=interpret)
     return render_image_stats(scene, cfg, jnp.uint32(timestamp0))
 
 
