@@ -150,10 +150,20 @@ def _make_step(scene, cfg, mask, lo, hi, target, opt, optimize_emission):
             sc = scatter_light_emission(sc, unconstrained_to_emission(ov["v"]))
         return sc
 
+    from ..integrator.mega_grad import mega_grad_eligible, render_mega_diff
+
+    use_mega = mega_grad_eligible(scene, cfg) and jax.default_backend() == "tpu"
+
     @partial(jax.jit, donate_argnames=("opt_vars", "opt_state"))
     def step(opt_vars, opt_state, timestamp0):
         def loss_fn(ov):
             sc = to_physical(ov)
+            if use_mega:
+                # fused forward + path-replay backward kernels (same
+                # per-sample estimator as the scan below)
+                img = render_mega_diff(sc, cfg, timestamp0)
+                img = img.reshape(n_pixels, 3)
+                return jnp.mean((img - target_flat) ** 2)
 
             def body(acc, s):
                 rad, _ = render_sample(sc, cfg, pix, timestamp0 + s, differentiable=True)

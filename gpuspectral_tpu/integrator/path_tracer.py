@@ -210,6 +210,15 @@ def _bounce(scene: SceneData, cfg: RenderConfig, bounce, state):
     seed = state["seed"]
     alive = ~state["done"]
     isector = _resolve_intersector(cfg)
+    if isector == "pallas" and cfg.use_bvh:
+        from ..bvh.binned import MAX_VMEM_SLOTS
+
+        if scene.tri_woop_t.shape[1] > MAX_VMEM_SLOTS:
+            # the Pallas BVH kernels keep the Woop table VMEM-resident;
+            # above this it cannot fit (living-room's 300k tris crashed the
+            # TPU worker outright) — fall back to the XLA BVH traversal,
+            # which streams from HBM at any scene size
+            isector = "woop"
 
     attrs = None
     if cfg.use_bvh:

@@ -93,6 +93,15 @@ def test_golden_test3_vs_tungsten():
 
 @needs_ref
 def test_golden_living_room_vs_tungsten():
-    img, ref, rel = _golden("living-room", 32, 18, spp=12, depth=8)
-    # 7 OBJs + a texture missing from the reference assets; lenient gate
-    assert rel < 0.5, f"living-room relative golden error {rel:.3f}"
+    """7 OBJs + the floor texture are missing from the reference assets, and
+    at this config the per-pixel metric is NOISE-dominated: two independent
+    renders of ours differ by rel 0.62, more than either differs from the
+    Tungsten image (0.49-0.55).  Per the staircase2 protocol, gate 2x2
+    block means at 24 spp instead: measured 0.32-0.38 structural floor
+    (missing furniture), while energy/camera/orientation regressions
+    measure >0.44."""
+    img, ref, rel = _golden("living-room", 32, 18, spp=24, depth=8)
+    a = np.minimum(img, 2.0).reshape(9, 2, 16, 2, 3).mean((1, 3))
+    b = np.minimum(ref, 2.0).reshape(9, 2, 16, 2, 3).mean((1, 3))
+    rel2 = np.abs(a - b).mean() / b.mean()
+    assert rel2 < 0.42, f"living-room block golden error {rel2:.3f} (px {rel:.3f})"
