@@ -63,6 +63,12 @@ def test_pinned_living_room():
 if __name__ == "__main__":  # regeneration entry point
     import sys
 
+    # force CPU: the env var alone is not respected once the axon TPU
+    # plugin registers, and a wedged tunnel would hang the regeneration
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
     for name, case in CASES.items():
         img = _render(name, case["width"], case["height"])
