@@ -138,3 +138,26 @@ def test_grads_match_finite_differences(cornell_scene):
     fd2 = (float(_loss_mega(scene, cfg, bp, te, le_p))
            - float(_loss_mega(scene, cfg, bp, te, le_m))) / (2 * h)
     assert abs(gle[l, c2] - fd2) < 2e-2 * max(abs(fd2), 1e-6), (gle[l, c2], fd2)
+
+
+def test_grads_match_xla_jitter_exact_mis(cornell_scene):
+    """Jitter draws extra RNG channels and exact MIS reweights emitter hits
+    (both kd-independent); grads must still match the XLA path."""
+    cfg = _cfg(spp=2, max_depth=3, jitter=True, mis_mode="exact",
+               light_sampling="uniform")
+    scene = cornell_scene
+    bp, te, le = scene.bsdf_params, scene.tri_emission, scene.light_emission
+    g_ref = jax.grad(lambda *p: _loss_xla(scene, cfg, *p), argnums=(0, 2))(
+        bp, te, le)
+    g_got = jax.grad(lambda *p: _loss_mega(scene, cfg, *p), argnums=(0, 2))(
+        bp, te, le)
+    kd = np.asarray(scene.bsdf_params)[:, 0:3]
+    live = kd > 0
+    ref_kd = np.asarray(g_ref[0])[:, 0:3][live]
+    got_kd = np.asarray(g_got[0])[:, 0:3][live]
+    s = np.abs(ref_kd).max()
+    np.testing.assert_allclose(got_kd, ref_kd, atol=2e-3 * s, rtol=2e-3)
+    ref_le = np.asarray(g_ref[1])
+    got_le = np.asarray(g_got[1])
+    ls = max(np.abs(ref_le).max(), 1e-12)
+    np.testing.assert_allclose(got_le, ref_le, atol=2e-3 * ls, rtol=2e-3)
