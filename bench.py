@@ -43,15 +43,32 @@ def main() -> int:
     result = run_benchmark(render_args(cornell, 64, False))
     detail["cornell"] = result
 
-    # 2. BVH-scale scene: staircase2 (31k tris), Mrays/s is spp-independent
+    # 2. config 3 (the reference's default demo scene): test3 glossy,
+    #    declared 512^2 @ 32 spp (megakernel path)
+    t3 = os.path.join(REF_SCENES, "test3/scene.xml")
+    if os.path.exists(t3):
+        try:
+            detail["test3_32spp"] = run_benchmark(render_args(t3, 32, False))
+        except Exception as e:
+            detail["test3_32spp"] = {"error": str(e)[:300]}
+
+    # 3. BVH-scale scenes: staircase2 (31k tris) and coffee (168k).
+    #    spp=4 iterations for wall-clock; Mrays/s is the declared metric and
+    #    is spp-independent (reported rays/second of rays actually traced)
     stair = os.path.join(REF_SCENES, "staircase2/scene.xml")
     if os.path.exists(stair):
         try:
             detail["staircase2"] = run_benchmark(render_args(stair, 4, True))
         except Exception as e:  # keep the headline even if the BVH row fails
             detail["staircase2"] = {"error": str(e)[:300]}
+    coffee = os.path.join(REF_SCENES, "coffee/scene.xml")
+    if os.path.exists(coffee):
+        try:
+            detail["coffee"] = run_benchmark(render_args(coffee, 4, True))
+        except Exception as e:
+            detail["coffee"] = {"error": str(e)[:300]}
 
-    # 3. gradient-step throughput (path-replay backprop), median of 3
+    # 4. gradient-step throughput (path-replay backprop), median of 3
     try:
         detail["grad"] = run_grad_benchmark(cornell, steps=3)
     except Exception as e:
@@ -67,6 +84,12 @@ def main() -> int:
                 "vs_baseline": round(mrays / TARGET_MRAYS, 4),
                 "staircase2_mrays_per_s": round(
                     detail.get("staircase2", {}).get("mrays_per_s", 0.0), 3
+                ),
+                "coffee_mrays_per_s": round(
+                    detail.get("coffee", {}).get("mrays_per_s", 0.0), 3
+                ),
+                "test3_mrays_per_s": round(
+                    detail.get("test3_32spp", {}).get("mrays_per_s", 0.0), 3
                 ),
                 "grad_steps_per_s_512_64spp_d5": round(
                     detail.get("grad", {}).get("grad_steps_per_s", 0.0), 4
