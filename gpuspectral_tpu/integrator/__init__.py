@@ -31,6 +31,13 @@ def render_image_stats_auto(scene, cfg, timestamp0: int = 0):
         or (cfg.intersector == "auto" and jax.default_backend() == "tpu")
     ):
         return render_mega_bvh(scene, cfg, timestamp0, interpret=interpret)
+    if jax.default_backend() == "tpu":
+        # host-side batch loop: bounds single-execution device time (the TPU
+        # runtime kills executions running for minutes — big slot-mode
+        # scenes under one lax.map crashed the worker)
+        from .path_tracer import render_image_stats_host
+
+        return render_image_stats_host(scene, cfg, timestamp0)
     return render_image_stats(scene, cfg, jnp.uint32(timestamp0))
 
 

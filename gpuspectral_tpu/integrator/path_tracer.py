@@ -966,6 +966,41 @@ def render_image_stats(scene: SceneData, cfg: RenderConfig, timestamp0=0):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _trace_batch_jit(scene: SceneData, cfg: RenderConfig, pix, timestamp0):
+    rad, rays, pixel = trace_wavefront(scene, cfg, pix, timestamp0)
+    if cfg.sort_rays:
+        local = (pixel - pix[0]).astype(jnp.int32)
+        rad = jnp.zeros_like(rad).at[local].set(rad)
+    return rad / cfg.spp, jnp.sum(rays.astype(jnp.float32))
+
+
+def render_image_stats_host(scene: SceneData, cfg: RenderConfig, timestamp0=0):
+    """render_image_stats with the batch loop on the HOST: one device
+    execution per ray batch instead of one `lax.map` over all batches.
+
+    Needed on large scenes: a single device execution covering the whole
+    image can run for minutes (coffee, 168k slot-mode triangles), and the
+    TPU runtime kills long executions ("worker crashed" — measured: the
+    same four 4096-ray batches that crash fused under lax.map each complete
+    in ~18 s as separate executions).  Numerically identical to
+    render_image_stats (same per-batch program, same seeds)."""
+    n_pixels = cfg.width * cfg.height
+    batch = min(cfg.ray_batch, n_pixels)
+    n_batches = -(-n_pixels // batch)
+    padded = n_batches * batch
+    timestamp0 = jnp.uint32(timestamp0)
+    rad_parts = []
+    nrays = 0.0
+    for b in range(n_batches):
+        pix = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.uint32)
+        rad, nr = _trace_batch_jit(scene, cfg, pix, timestamp0)
+        rad_parts.append(rad)
+        nrays = nrays + nr
+    radiance = jnp.concatenate(rad_parts, axis=0)[:n_pixels]
+    return radiance.reshape(cfg.height, cfg.width, 3), nrays
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def render_image(scene: SceneData, cfg: RenderConfig, timestamp0=0):
     """Render (H, W, 3); see render_image_stats."""
     return render_image_stats(scene, cfg, timestamp0)[0]
