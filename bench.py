@@ -3,32 +3,40 @@
 
 Covers the full declared metric (BASELINE.json): Mrays/s at Cornell box
 512x512 @ 64 spp depth 50 (rays actually traced: closest-hit + shadow),
-grad-steps/s at Cornell 512^2@64spp (depth 5), and a BVH-scale scene row
-(staircase2, 31k triangles).  The reference publishes no numbers
-(BASELINE.md), so vs_baseline is reported against the north-star working
-target of 100 Mrays/s/chip.
+grad-steps/s at Cornell 512^2@64spp (depth 5), config 3 (test3 glossy,
+512^2 @ 32 spp), and the BVH-scale scenes staircase2 (31k tris) and
+coffee (168k tris, HBM-streaming fused kernel).  The reference publishes
+no numbers (BASELINE.md), so vs_baseline is reported against the
+north-star working target of 100 Mrays/s/chip.
+
+Each row runs in its own subprocess: a TPU worker crash (or watchdog
+kill) in one row must not poison the rest — round 2's coffee row died
+mid-bench and took the grad row with it.
 """
 
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 TARGET_MRAYS = 100.0
 REF_SCENES = "/root/reference/src/GPUSpectral/assets/scenes"
+ROW_TIMEOUT_S = 420
 
 
-def main() -> int:
-    import argparse
-
+def run_row(name: str):
+    """One benchmark row, printed as a JSON line (subprocess entry)."""
     from gpuspectral_tpu.utils.jaxcache import enable as _enable_cache
 
     _enable_cache()
+    import argparse
+
     from gpuspectral_tpu.utils.bench import run_benchmark, run_grad_benchmark
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    cornell = os.path.join(here, "scenes/cornell/scene.xml")
+    cornell = os.path.join(HERE, "scenes/cornell/scene.xml")
 
     def render_args(scene, spp, bvh):
         return argparse.Namespace(
@@ -38,43 +46,57 @@ def main() -> int:
             intersector="auto", packet_size=1024,
         )
 
+    if name == "cornell":
+        out = run_benchmark(render_args(cornell, 64, False))
+    elif name == "test3_32spp":
+        out = run_benchmark(
+            render_args(os.path.join(REF_SCENES, "test3/scene.xml"), 32, False))
+    elif name == "staircase2":
+        # spp=4 iterations for wall-clock; Mrays/s is the declared metric
+        # and is spp-independent (rays actually traced per second)
+        out = run_benchmark(
+            render_args(os.path.join(REF_SCENES, "staircase2/scene.xml"), 4, True))
+    elif name == "coffee":
+        out = run_benchmark(
+            render_args(os.path.join(REF_SCENES, "coffee/scene.xml"), 4, True))
+    elif name == "grad":
+        out = run_grad_benchmark(cornell, steps=3)
+    else:
+        raise SystemExit(f"unknown row {name}")
+    print("ROW_JSON:" + json.dumps(out))
+
+
+def main() -> int:
+    if len(sys.argv) == 3 and sys.argv[1] == "--row":
+        run_row(sys.argv[2])
+        return 0
+
     detail = {}
-    # 1. headline: Cornell 512^2 @ 64 spp (fused Pallas megakernel)
-    result = run_benchmark(render_args(cornell, 64, False))
-    detail["cornell"] = result
-
-    # 2. config 3 (the reference's default demo scene): test3 glossy,
-    #    declared 512^2 @ 32 spp (megakernel path)
-    t3 = os.path.join(REF_SCENES, "test3/scene.xml")
-    if os.path.exists(t3):
+    rows = ["cornell", "test3_32spp", "staircase2", "coffee", "grad"]
+    for name in rows:
+        if name not in ("cornell", "grad") and not os.path.isdir(REF_SCENES):
+            continue
         try:
-            detail["test3_32spp"] = run_benchmark(render_args(t3, 32, False))
-        except Exception as e:
-            detail["test3_32spp"] = {"error": str(e)[:300]}
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--row", name],
+                capture_output=True, text=True, timeout=ROW_TIMEOUT_S,
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("ROW_JSON:")),
+                None,
+            )
+            if line is None:
+                detail[name] = {
+                    "error": (p.stderr.strip().splitlines() or ["no output"])[-1][:300]
+                }
+            else:
+                detail[name] = json.loads(line[len("ROW_JSON:"):])
+        except subprocess.TimeoutExpired:
+            detail[name] = {"error": f"row timed out after {ROW_TIMEOUT_S}s"}
+        except Exception as e:  # noqa: BLE001 — keep the headline alive
+            detail[name] = {"error": str(e)[:300]}
 
-    # 3. BVH-scale scenes: staircase2 (31k tris) and coffee (168k).
-    #    spp=4 iterations for wall-clock; Mrays/s is the declared metric and
-    #    is spp-independent (reported rays/second of rays actually traced)
-    stair = os.path.join(REF_SCENES, "staircase2/scene.xml")
-    if os.path.exists(stair):
-        try:
-            detail["staircase2"] = run_benchmark(render_args(stair, 4, True))
-        except Exception as e:  # keep the headline even if the BVH row fails
-            detail["staircase2"] = {"error": str(e)[:300]}
-    coffee = os.path.join(REF_SCENES, "coffee/scene.xml")
-    if os.path.exists(coffee):
-        try:
-            detail["coffee"] = run_benchmark(render_args(coffee, 4, True))
-        except Exception as e:
-            detail["coffee"] = {"error": str(e)[:300]}
-
-    # 4. gradient-step throughput (path-replay backprop), median of 3
-    try:
-        detail["grad"] = run_grad_benchmark(cornell, steps=3)
-    except Exception as e:
-        detail["grad"] = {"error": str(e)[:300]}
-
-    mrays = result["mrays_per_s"]
+    mrays = detail.get("cornell", {}).get("mrays_per_s", 0.0)
     print(
         json.dumps(
             {

@@ -73,13 +73,16 @@ MAX_VMEM_SLOTS = 208 * 1024  # 12*4*208k ~= 10 MB
 
 
 def build_bins(node_min, node_max, n_clusters: int, n_clusters_real: int,
-               leaf_size: int):
+               leaf_size: int, max_bins: int = MAX_BINS):
     """Group consecutive SAH leaves into sweep bins.
 
     Returns (bounds (6, ceil(C/WORD_BITS)*WORD_BITS) float32, n_bins,
     slots_per_bin).  Bin b covers triangle slots [b*slots, (b+1)*slots) of
     the slot-ordered triangle arrays; slots is the smallest multiple of LANE
-    with ceil(real_leaves / (slots/leaf_size)) <= MAX_BINS.
+    with ceil(real_leaves / (slots/leaf_size)) <= max_bins.  Scenes too big
+    for VMEM-resident tables use a larger cap: the streaming megakernel
+    DMAs one bin per traversal round, and finer bins mean one 128-slot
+    sweep per round plus tighter front-to-back culling.
 
     Padding bins are distant POINT boxes with distinct per-axis coordinates
     (t_near > t_far for every ray under finite f32 slab math) — +/-1e30
@@ -94,7 +97,7 @@ def build_bins(node_min, node_max, n_clusters: int, n_clusters_real: int,
     hi = node_max[first_leaf : first_leaf + n_clusters_real]
 
     g = LANE // leaf_size  # leaves per bin at one chunk
-    while -(-n_clusters_real // g) > MAX_BINS:
+    while -(-n_clusters_real // g) > max_bins:
         g *= 2
     n_bins = -(-n_clusters_real // g)
     slots = g * leaf_size

@@ -106,15 +106,24 @@ def _inv_dir1(dx):
 
 def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                  n_lights: int, present: tuple, light_mode: str,
-                 n_attr: int = _NA):
+                 n_attr: int = _NA, stream: bool = False):
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
     chunks = slots // LANES
     shape_rs = (R, LANES)  # (rays-sublane, slots-lane) sweep shape
+    # streaming buffers are 8-row-aligned; the gather carries the padded row
+    # count, shading reads only the first n_attr rows
+    n_attr_rows = -(-n_attr // 8) * 8 if stream else n_attr
 
     def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
-               ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref):
+               ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
+               *scratch):
+        if stream:
+            # streaming mode: woop_ref (bins, 12, slots) and attr_ref
+            # (bins, n_attr, slots) live in HBM; each traversal round DMAs
+            # the visited bin's rows into these VMEM buffers
+            woop_buf, attr_buf, woop_sem, attr_sem = scratch
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (1,128)
 
@@ -197,10 +206,23 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             def body(st):
                 mn, binv, vis, bt, bu, bv, battr = st[:7]
                 base = binv * slots
+                if stream:
+                    wcp = pltpu.make_async_copy(
+                        woop_ref.at[binv], woop_buf, woop_sem)
+                    acp = pltpu.make_async_copy(
+                        attr_ref.at[binv], attr_buf, attr_sem)
+                    wcp.start()
+                    acp.start()
+                    wcp.wait()
+                    acp.wait()
                 for c in range(chunks):
                     off = base + c * LANES
-                    t, u, v, ok = _woop_chunk_at(
-                        woop_ref, off, ox, oy, oz, dx, dy, dz)
+                    if stream:
+                        t, u, v, ok = _woop_chunk_at(
+                            woop_buf, c * LANES, ox, oy, oz, dx, dy, dz)
+                    else:
+                        t, u, v, ok = _woop_chunk_at(
+                            woop_ref, off, ox, oy, oz, dx, dy, dz)
                     hit = ok & (t > 0.0) & (t < bt)
                     tm = jnp.where(hit, t, _BIG)
                     t_it = jnp.min(tm, axis=1, keepdims=True)  # (R,1)
@@ -214,7 +236,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                     v_it = jnp.sum(jnp.where(first, v, 0.0), axis=1,
                                    keepdims=True)
                     # MXU one-hot gather of the chunk's attribute rows
-                    arows = attr_ref[binv * chunks + c]  # (_NA, 128)
+                    if stream:
+                        arows = attr_buf[:, c * LANES:(c + 1) * LANES]
+                    else:
+                        arows = attr_ref[binv * chunks + c]  # (_NA, 128)
                     attr_new = _dotg(first.astype(jnp.float32), arows,
                                      ((1,), (1,)))  # (R rays, _NA)
                     bt = jnp.where(improved, t_it, bt)
@@ -230,7 +255,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             mn0, binv0 = _next_bin(candidates(vis0, bt0))
             z1 = jnp.zeros((R, 1), jnp.float32)
             init = (mn0, binv0, vis0, bt0, z1, z1,
-                    jnp.zeros((R, n_attr), jnp.float32), jnp.int32(0))
+                    jnp.zeros((R, n_attr_rows), jnp.float32), jnp.int32(0))
             _, _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
             hitT = bt < jnp.minimum(tmaxT, _BIG)
             battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
@@ -265,10 +290,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             def body(st):
                 mn, binv, vis, occ = st[:4]
                 base = binv * slots
+                if stream:
+                    wcp = pltpu.make_async_copy(
+                        woop_ref.at[binv], woop_buf, woop_sem)
+                    wcp.start()
+                    wcp.wait()
                 hit_any = jnp.zeros((R, 1), jnp.float32)
                 for c in range(chunks):
                     t, _u, _v, ok = _woop_chunk_at(
-                        woop_ref, base + c * LANES, ox, oy, oz, dx, dy, dz)
+                        woop_buf if stream else woop_ref,
+                        c * LANES if stream else base + c * LANES,
+                        ox, oy, oz, dx, dy, dz)
                     h = ok & (t > tminT) & (t < tmaxT)
                     hit_any = jnp.maximum(
                         hit_any,
@@ -372,11 +404,14 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     return kernel
 
 
-def _pack_tables_bvh(scene: SceneData, light_mode: str):
+def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False):
     """Device tables for the fused kernel (all jit-traceable).
 
     Returns (bounds (6, c_pad), woop_t (12, S), attr3 (S/128, _NA, 128),
-    light (L8, 16), cam (1,13))."""
+    light (L8, 16), cam (1,13)).  With stream=True the woop/attr tables are
+    instead laid out per-bin for HBM-resident DMA streaming: woop
+    (bins, 12, slots), attr (bins, n_attr, slots) — one contiguous block
+    per bin, copied into VMEM scratch at each traversal round."""
     n_bins, slots = scene.bvh_bins, scene.bvh_bin_slots
     need = n_bins * slots
     # bin bounds, lane-padded with ftb's far-point pattern
@@ -410,7 +445,19 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str):
     t = attr.shape[1]
     if t < need:
         attr = jnp.pad(attr, ((0, 0), (0, need - t)))
-    attr3 = attr[:, :need].T.reshape(need // 128, 128, n_attr).transpose(0, 2, 1)
+    if stream:
+        # the slot table may be larger than bins*slots (padded independently
+        # for other kernels); bins only ever address the first bins*slots.
+        # Mosaic DMAs need the sublane (row) dim 8-aligned: pad 12 -> 16
+        # woop rows and attr rows up to a multiple of 8 (zeros, never read).
+        woop_t = jnp.pad(woop_t[:, :need], ((0, 4), (0, 0)))
+        woop_t = woop_t.reshape(16, n_bins, slots).transpose(1, 0, 2)
+        na_pad = -(-n_attr // 8) * 8
+        attr_s = jnp.pad(attr[:, :need], ((0, na_pad - n_attr), (0, 0)))
+        attr3 = attr_s.reshape(na_pad, n_bins, slots).transpose(1, 0, 2)
+    else:
+        attr3 = (attr[:, :need].T.reshape(need // 128, 128, n_attr)
+                 .transpose(0, 2, 1))
 
     # light table (L8, 16): 0-8 verts, 9-11 emission, 12 select pdf,
     # 13 cdf_hi (last real row 2.0), 14 cdf_lo (first row -1.0)
@@ -444,15 +491,36 @@ def mega_bvh_table_bytes(scene: SceneData) -> int:
                 + scene.num_lights * 128)
 
 
+def mega_bvh_stream(scene: SceneData) -> bool:
+    """Whether the kernel must stream its tables from HBM (large scenes):
+    the whole woop+attr table no longer fits the VMEM budget, but one bin's
+    rows do — the per-round DMA working set."""
+    return mega_bvh_table_bytes(scene) > MEGA_BVH_TABLE_BYTES
+
+
+# streaming-mode caps: one bin's (12 + n_attr) x slots f32 rows must fit the
+# VMEM scratch buffer, and the (R, c_pad) entry matrix must stay small
+MEGA_BVH_STREAM_BIN_BYTES = 2 * 1024 * 1024
+MEGA_BVH_STREAM_MAX_BINS = 4096
+
+
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Whether the fused BVH megakernel covers this (scene, config)."""
-    return (
+    base = (
         cfg.use_bvh
         and not scene.has_envmap  # env NEE/miss shading: wavefront path
         and cfg.light_sampling in ("uniform", "power")
         and scene.num_tris > 0
         and scene.num_lights < (1 << 16)
-        and mega_bvh_table_bytes(scene) <= MEGA_BVH_TABLE_BYTES
+    )
+    if not base:
+        return False
+    if mega_bvh_table_bytes(scene) <= MEGA_BVH_TABLE_BYTES:
+        return True
+    na = _NA_TEX if scene.has_textures else _NA
+    return (
+        scene.bvh_bin_slots * (12 + na) * 4 <= MEGA_BVH_STREAM_BIN_BYTES
+        and scene.bvh_bins <= MEGA_BVH_STREAM_MAX_BINS
     )
 
 
@@ -462,8 +530,9 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     """Render (H, W, 3) radiance (mean over cfg.spp) + total rays traced,
     as one fused persistent kernel per 128-pixel block."""
     light_mode = cfg.light_sampling
+    stream = mega_bvh_stream(scene)
     bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
-        scene, light_mode)
+        scene, light_mode, stream=stream)
     n_pixels = cfg.width * cfg.height
     # blocks are 8x16 PIXEL TILES, not 1x128 raster strips: a tile's bounce
     # rays share ~2.8x less AABB perimeter, keeping the block's front-to-back
@@ -485,23 +554,38 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     pix = jnp.asarray(pix_np.reshape(n_blocks, 1, R))
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
+    n_attr = _NA_TEX if scene.has_textures else _NA  # logical row count
+    assert attr3.shape[1] == (-(-n_attr // 8) * 8 if stream else n_attr)
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
                           scene.num_lights, scene.kinds_present, light_mode,
-                          n_attr=attr3.shape[1])
+                          n_attr=n_attr, stream=stream)
 
     blk = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda x: pl.BlockSpec(  # noqa: E731
         x.shape, lambda i: tuple(0 for _ in x.shape), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.float32)
+    slots = scene.bvh_bin_slots
+    scratch = []
+    if stream:
+        scratch = [
+            pltpu.VMEM((16, slots), jnp.float32),
+            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
     rad_r, rad_g, rad_b, rays = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[blk, full(bounds), full(woop_t), full(attr3), full(light),
-                  smem, smem],
+        in_specs=[blk, full(bounds),
+                  hbm if stream else full(woop_t),
+                  hbm if stream else full(attr3),
+                  full(light), smem, smem],
         out_specs=[blk, blk, blk, blk],
         out_shape=[out_shape, out_shape, out_shape,
                    jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -305,11 +305,16 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh.leaf_size,
     )
 
-    from ..bvh.binned import build_bins
+    from ..bvh.binned import MAX_VMEM_SLOTS, build_bins
 
+    # scenes too big for VMEM-resident Pallas tables get finer bins (the
+    # streaming megakernel sweeps one bin per round out of a per-round DMA;
+    # 128-slot bins cut the per-round sweep 8x vs the coarse-cap layout)
+    n_slots_total = bvh.n_clusters_real * bvh.leaf_size
+    max_bins = 512 if n_slots_total <= MAX_VMEM_SLOTS else 4096
     bin_bounds, n_bins, bin_slots = build_bins(
         bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
-        bvh.leaf_size,
+        bvh.leaf_size, max_bins=max_bins,
     )
 
     if b.light_pos:

@@ -90,6 +90,32 @@ def test_slot_mode_scene_matches_wavefront():
     assert float(nrays) > 0
 
 
+def test_streaming_mode_bitwise_matches_resident(monkeypatch):
+    """HBM-streaming tables (large-scene mode: per-bin DMA into VMEM
+    scratch) must reproduce the VMEM-resident kernel bitwise — same sweeps,
+    same order, only the table residency differs.  Forced by dropping the
+    resident-table budget to 1 byte on a multi-bin slot-mode build."""
+    import os
+
+    import gpuspectral_tpu.integrator.mega_bvh as mb
+
+    stair = ("/root/reference/src/GPUSpectral/assets/scenes/"
+             "staircase2/scene.xml")
+    if not os.path.exists(stair):
+        pytest.skip("reference staircase2 scene not available")
+    scene, _ = load_mitsuba_scene(stair)
+    assert scene.bvh_bins > 1  # the DMA index must actually vary
+    cfg = _cfg(width=16, height=16, spp=1, max_depth=3, ray_batch=256,
+               light_sampling="power", mis_mode="exact")
+    resident = np.asarray(render_mega_bvh(scene, cfg, 0, interpret=True)[0])
+    monkeypatch.setattr(mb, "MEGA_BVH_TABLE_BYTES", 1)
+    assert mb.mega_bvh_stream(scene)
+    assert mb.mega_bvh_eligible(scene, cfg)
+    streamed = np.asarray(render_mega_bvh(scene, cfg, 0, interpret=True)[0])
+    assert np.isfinite(streamed).all()
+    assert np.array_equal(resident, streamed)
+
+
 def test_timestamp_advances_samples(cornell_scene):
     cfg = _cfg(spp=1, max_depth=2)
     a = np.asarray(render_mega_bvh(cornell_scene, cfg, 0, interpret=True)[0])
