@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bvh.ftb import _next_bin, _woop_chunk_at
+from ..bvh.ftb import _woop_chunk_at
 from ..ops import rng
 from ..scene.data import SceneData
 from ..utils.config import RenderConfig
@@ -68,8 +68,15 @@ from .mega import (
 )
 
 _BIG = 1e30
+_BIGI = 1 << 30
 LANES = 128
 R = 128  # rays per block (= LANES; one (1,128) plane per state variable)
+# bins swept per front-to-back round: amortizes the fixed per-round cost
+# (candidate matrix eval + min-reductions + while_loop control + streaming
+# DMA latency) over K 128-slot sweeps.  Measured on staircase2 (374 bins):
+# divergent deep bounces visit ~40+ bins per query, and the fixed cost per
+# round rivals the sweep itself.
+MEGA_KBINS = 4
 
 # attr rows: 0-30 as mega._pack_tables, 31 = light-selection pdf of this
 # triangle's emitter (0 for non-emissive; used by exact-MIS BSDF-hit weights);
@@ -116,14 +123,18 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     # count, shading reads only the first n_attr rows
     n_attr_rows = -(-n_attr // 8) * 8 if stream else n_attr
 
+    k_bins = min(MEGA_KBINS, n_bins)
+
     def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
                ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
                *scratch):
         if stream:
-            # streaming mode: woop_ref (bins, 12, slots) and attr_ref
+            # streaming mode: woop_ref (bins, 16, slots) and attr_ref
             # (bins, n_attr, slots) live in HBM; each traversal round DMAs
-            # the visited bin's rows into these VMEM buffers
-            woop_buf, attr_buf, woop_sem, attr_sem = scratch
+            # the visited bins' rows into these double-buffered VMEM
+            # buffers, prefetching bin k+1 under bin k's sweep
+            (woop_bufs, attr_bufs, woop_sems, attr_sems) = (
+                scratch[0:2], scratch[2:4], scratch[4:6], scratch[6:8])
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (1,128)
 
@@ -201,28 +212,14 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def cond(st):
                 ok = st[0] < _BIG
-                return ok if not cap else ok & (st[7] < cap)
+                return ok if not cap else ok & (st[6] < cap)
 
-            def body(st):
-                mn, binv, vis, bt, bu, bv, battr = st[:7]
-                base = binv * slots
-                if stream:
-                    wcp = pltpu.make_async_copy(
-                        woop_ref.at[binv], woop_buf, woop_sem)
-                    acp = pltpu.make_async_copy(
-                        attr_ref.at[binv], attr_buf, attr_sem)
-                    wcp.start()
-                    acp.start()
-                    wcp.wait()
-                    acp.wait()
+            def sweep(binv, wsrc, woff, asrc, bt, bu, bv, battr):
+                """Test one bin's slots; wsrc/woff locate its Woop rows,
+                asrc(c) yields the chunk's attribute rows."""
                 for c in range(chunks):
-                    off = base + c * LANES
-                    if stream:
-                        t, u, v, ok = _woop_chunk_at(
-                            woop_buf, c * LANES, ox, oy, oz, dx, dy, dz)
-                    else:
-                        t, u, v, ok = _woop_chunk_at(
-                            woop_ref, off, ox, oy, oz, dx, dy, dz)
+                    t, u, v, ok = _woop_chunk_at(
+                        wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
                     hit = ok & (t > 0.0) & (t < bt)
                     tm = jnp.where(hit, t, _BIG)
                     t_it = jnp.min(tm, axis=1, keepdims=True)  # (R,1)
@@ -236,27 +233,76 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                     v_it = jnp.sum(jnp.where(first, v, 0.0), axis=1,
                                    keepdims=True)
                     # MXU one-hot gather of the chunk's attribute rows
-                    if stream:
-                        arows = attr_buf[:, c * LANES:(c + 1) * LANES]
-                    else:
-                        arows = attr_ref[binv * chunks + c]  # (_NA, 128)
-                    attr_new = _dotg(first.astype(jnp.float32), arows,
+                    attr_new = _dotg(first.astype(jnp.float32), asrc(c),
                                      ((1,), (1,)))  # (R rays, _NA)
                     bt = jnp.where(improved, t_it, bt)
                     bu = jnp.where(improved, u_it, bu)
                     bv = jnp.where(improved, v_it, bv)
                     battr = jnp.where(improved, attr_new, battr)
-                vis = jnp.where(col == binv, _BIG, vis)
-                mn, binv = _next_bin(candidates(vis, bt))
-                return (mn, binv, vis, bt, bu, bv, battr, st[7] + 1)
+                return bt, bu, bv, battr
+
+            def body(st):
+                _, vis, bt, bu, bv, battr = st[:6]
+                # K nearest candidate bins this round (amortizes the fixed
+                # per-round cost: candidates eval, min-reductions, loop
+                # control, DMA latency).  When fewer than K remain the
+                # leftover picks degenerate to bin 0 — a no-op re-sweep
+                # (nothing can improve on an already-committed t).
+                m = jnp.min(candidates(vis, bt), axis=0, keepdims=True)
+                bins = []
+                for _ in range(k_bins):
+                    mn = jnp.min(m)
+                    b = jnp.min(jnp.where(m == mn, col, _BIGI))
+                    b = jnp.where(b == _BIGI, 0, b)
+                    bins.append(b)
+                    m = jnp.where(col == b, _BIG, m)
+                    vis = jnp.where(col == b, _BIG, vis)
+                if stream:
+                    def start(k):
+                        sl = k % 2
+                        pltpu.make_async_copy(
+                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_sems[sl]).start()
+                        pltpu.make_async_copy(
+                            attr_ref.at[bins[k]], attr_bufs[sl],
+                            attr_sems[sl]).start()
+
+                    start(0)
+                    for k in range(k_bins):
+                        sl = k % 2
+                        pltpu.make_async_copy(
+                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_sems[sl]).wait()
+                        pltpu.make_async_copy(
+                            attr_ref.at[bins[k]], attr_bufs[sl],
+                            attr_sems[sl]).wait()
+                        if k + 1 < k_bins:
+                            start(k + 1)  # prefetch under this sweep
+                        asrc = (lambda s: lambda c:
+                                attr_bufs[s][:, c * LANES:(c + 1) * LANES])(sl)
+                        bt, bu, bv, battr = sweep(
+                            bins[k], woop_bufs[sl], 0, asrc,
+                            bt, bu, bv, battr)
+                else:
+                    for k in range(k_bins):
+                        asrc = (lambda b: lambda c:
+                                attr_ref[b * chunks + c])(bins[k])
+                        bt, bu, bv, battr = sweep(
+                            bins[k], woop_ref, bins[k] * slots, asrc,
+                            bt, bu, bv, battr)
+                # stale-bt candidate min for the loop guard: bt only
+                # tightened during this round, so this keeps at least the
+                # true candidate set alive (never exits early); vis grows
+                # monotonically, so it terminates
+                return (jnp.min(m), vis, bt, bu, bv, battr, st[6] + 1)
 
             vis0 = jnp.zeros((1, c_pad), jnp.float32)
             bt0 = jnp.minimum(tmaxT, _BIG)
-            mn0, binv0 = _next_bin(candidates(vis0, bt0))
+            mn0 = jnp.min(candidates(vis0, bt0))
             z1 = jnp.zeros((R, 1), jnp.float32)
-            init = (mn0, binv0, vis0, bt0, z1, z1,
+            init = (mn0, vis0, bt0, z1, z1,
                     jnp.zeros((R, n_attr_rows), jnp.float32), jnp.int32(0))
-            _, _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
+            _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
             hitT = bt < jnp.minimum(tmaxT, _BIG)
             battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
             attrs = tuple(battr[i:i + 1, :] for i in range(n_attr))
@@ -285,36 +331,56 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def cond(st):
                 ok = st[0] < _BIG
-                return ok if not cap else ok & (st[4] < cap)
+                return ok if not cap else ok & (st[3] < cap)
 
-            def body(st):
-                mn, binv, vis, occ = st[:4]
-                base = binv * slots
-                if stream:
-                    wcp = pltpu.make_async_copy(
-                        woop_ref.at[binv], woop_buf, woop_sem)
-                    wcp.start()
-                    wcp.wait()
+            def sweep(wsrc, woff, occ):
                 hit_any = jnp.zeros((R, 1), jnp.float32)
                 for c in range(chunks):
                     t, _u, _v, ok = _woop_chunk_at(
-                        woop_buf if stream else woop_ref,
-                        c * LANES if stream else base + c * LANES,
-                        ox, oy, oz, dx, dy, dz)
+                        wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
                     h = ok & (t > tminT) & (t < tmaxT)
                     hit_any = jnp.maximum(
                         hit_any,
                         jnp.max(h.astype(jnp.float32), axis=1, keepdims=True))
-                occ = jnp.maximum(occ, hit_any * _BIG)
-                vis = jnp.where(col == binv, _BIG, vis)
-                mn, binv = _next_bin(candidates(vis, occ))
-                return (mn, binv, vis, occ, st[4] + 1)
+                return jnp.maximum(occ, hit_any * _BIG)
+
+            def body(st):
+                _, vis, occ = st[:3]
+                m = jnp.min(candidates(vis, occ), axis=0, keepdims=True)
+                bins = []
+                for _ in range(k_bins):
+                    mn = jnp.min(m)
+                    b = jnp.min(jnp.where(m == mn, col, _BIGI))
+                    b = jnp.where(b == _BIGI, 0, b)
+                    bins.append(b)
+                    m = jnp.where(col == b, _BIG, m)
+                    vis = jnp.where(col == b, _BIG, vis)
+                if stream:
+                    def start(k):
+                        sl = k % 2
+                        pltpu.make_async_copy(
+                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_sems[sl]).start()
+
+                    start(0)
+                    for k in range(k_bins):
+                        sl = k % 2
+                        pltpu.make_async_copy(
+                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_sems[sl]).wait()
+                        if k + 1 < k_bins:
+                            start(k + 1)
+                        occ = sweep(woop_bufs[sl], 0, occ)
+                else:
+                    for k in range(k_bins):
+                        occ = sweep(woop_ref, bins[k] * slots, occ)
+                return (jnp.min(m), vis, occ, st[3] + 1)
 
             vis0 = jnp.zeros((1, c_pad), jnp.float32)
             occ0 = jnp.zeros((R, 1), jnp.float32)
-            mn0, binv0 = _next_bin(candidates(vis0, occ0))
-            _, _, _, occ, _ = jax.lax.while_loop(
-                cond, body, (mn0, binv0, vis0, occ0, jnp.int32(0)))
+            mn0 = jnp.min(candidates(vis0, occ0))
+            _, _, occ, _ = jax.lax.while_loop(
+                cond, body, (mn0, vis0, occ0, jnp.int32(0)))
             return _t(occ) > 0.0
 
         lrow = jax.lax.broadcasted_iota(
@@ -571,7 +637,11 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     if stream:
         scratch = [
             pltpu.VMEM((16, slots), jnp.float32),
+            pltpu.VMEM((16, slots), jnp.float32),
             pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
+            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
