@@ -73,7 +73,8 @@ MAX_VMEM_SLOTS = 208 * 1024  # 12*4*208k ~= 10 MB
 
 
 def build_bins(node_min, node_max, n_clusters: int, n_clusters_real: int,
-               leaf_size: int, max_bins: int = MAX_BINS):
+               leaf_size: int, max_bins: int = MAX_BINS,
+               slots_per_bin: int = 0):
     """Group consecutive SAH leaves into sweep bins.
 
     Returns (bounds (6, ceil(C/WORD_BITS)*WORD_BITS) float32, n_bins,
@@ -96,7 +97,11 @@ def build_bins(node_min, node_max, n_clusters: int, n_clusters_real: int,
     lo = node_min[first_leaf : first_leaf + n_clusters_real]
     hi = node_max[first_leaf : first_leaf + n_clusters_real]
 
-    g = LANE // leaf_size  # leaves per bin at one chunk
+    # leaves per bin: start at slots_per_bin (the slot layout's bin stride,
+    # bvh/build.BIN_TARGET, so bin bounds land exactly on subtree-cut
+    # boundaries), or one 128-slot chunk when unspecified; double until the
+    # bin count fits the vote/entry-matrix width budget
+    g = (slots_per_bin or LANE) // leaf_size
     while -(-n_clusters_real // g) > max_bins:
         g *= 2
     n_bins = -(-n_clusters_real // g)

@@ -29,13 +29,23 @@ import numpy as np
 
 LEAF_SIZE = 16  # slots per leaf (sah mode: real leaves of <= this, padded)
 
-# Slot-mode bins: maximal SAH subtrees of <= BIN_TARGET triangles, each
-# occupying exactly BIN_TARGET slots (bvh/sah.sah_cuts).  A cut node IS a
+# Slot-mode bins: maximal SAH subtrees of <= bin_target triangles, each
+# occupying exactly bin_target slots (bvh/sah.sah_cuts).  A cut node IS a
 # node of the SAH tree, so bin AABBs are as tight as the build could make
 # them — measured (tools/sim_bins.py, staircase2 tile blocks): ftb
 # rounds/block 5.5 -> 4.0 and votes/ray 1.5 -> 0.8 vs grouping 8
 # consecutive leaves.
-BIN_TARGET = 128
+#
+# Bin size trades per-ray culling precision against per-round fixed cost
+# (pick chains, candidate-matrix scans, streaming DMA latency — all paid
+# once per bin swept).  Measured via tools/sim_bins.py on staircase2:
+# 256-slot bins halve the front-to-back round count of 128-slot bins for
+# both tile-coherent and incoherent ray sets at near-equal swept slots;
+# 512-slot bins quarter the round count (and quadruple streaming DMA size)
+# for ~20% more swept slots — the right trade when each round pays an HBM
+# round-trip.
+BIN_TARGET = 256  # VMEM-resident scenes
+BIN_TARGET_STREAM = 512  # HBM-streaming scenes (table too big for VMEM)
 
 # Below this many triangles the sah build keeps the triangle arrays dense
 # (fixed-size cuts of the DFS order, no -1 slots): small scenes are served by
@@ -86,6 +96,7 @@ def build_bvh(
     num_tris: int,
     leaf_size: int = LEAF_SIZE,
     order: str = "sah",
+    bin_target: int = BIN_TARGET,
 ) -> BVH:
     """tri_pos: (T,3,3) padded triangle array; only the first num_tris are
     real.  Returns the BVH plus the permutation that must be applied to all
@@ -119,7 +130,7 @@ def build_bvh(
         from .sah import sah_cuts
 
         tri_order, _lsizes, bsizes = sah_cuts(
-            real, num_tris, leaf_target=leaf_size, bin_target=BIN_TARGET
+            real, num_tris, leaf_target=leaf_size, bin_target=bin_target
         )
         if num_tris <= SLOT_DENSE_THRESHOLD:
             # dense mode: fixed cuts of the SAH order, original array length
@@ -144,14 +155,14 @@ def build_bvh(
             # node AABBs.  binned.build_bins regroups leaf_size*g-slot runs,
             # which lands exactly on bin boundaries.
             n_bins = len(bsizes)
-            leaves_per_bin = BIN_TARGET // leaf_size
+            leaves_per_bin = bin_target // leaf_size
             n_clusters_real = n_bins * leaves_per_bin
             n_clusters = 1 << int(np.ceil(np.log2(max(1, n_clusters_real))))
             perm = np.full(n_clusters * leaf_size, -1, np.int64)
             starts = np.concatenate([[0], np.cumsum(bsizes)])
             for bi in range(n_bins):
                 s0, s1 = starts[bi], starts[bi + 1]
-                perm[bi * BIN_TARGET : bi * BIN_TARGET + (s1 - s0)] = (
+                perm[bi * bin_target : bi * bin_target + (s1 - s0)] = (
                     tri_order[s0:s1]
                 )
 

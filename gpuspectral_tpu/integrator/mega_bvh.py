@@ -8,23 +8,35 @@ per ray block: camera gen, front-to-back binned BVH traversal, shading, NEE
 shadow traversal, RR and sample regeneration — per-path state never touches
 HBM between bounces.
 
-Why this shape (measured, tools/sim_bins.py + round-2 profiling):
-  * The XLA wavefront's inter-bounce glue costs more than the traversal
-    kernels themselves on BVH scenes (staircase2 end-to-end 1.56 Mrays/s vs
-    4.8-6.9 raw kernel).
-  * Traversal cost is set by ray coherence: a block of 128 *consecutive
-    raster pixels* needs ~4 front-to-back rounds per bounce with
-    subtree-cut bins, vs ~100 for shuffled rays.  The megakernel's blocks
-    are exactly such pixel tiles, and sample regeneration keeps every lane
-    on its own pixel for the whole kernel, so coherence survives.
+Round-4 execution shape (the round-3 kernel ran shading at 1/8 VPU width
+with ~20 tiny relayouts per bounce and scalar-serialized bin picks):
 
-Block shape: 128 rays as ONE (1, 128) lane vector per state plane (the
-brute-force megakernel uses (16, 128) tiles; here traversal dominates, and
-128-ray blocks keep the front-to-back round count low).  Traversal runs in
-the ftb orientation (rays on sublanes, bins/slots on lanes — bvh/ftb.py)
-against the same `(6, C)` bin-bounds and `(12, S)` Woop tables; shading
-runs in lane orientation; the two exchange through ~20 small (1,128) <->
-(128,1) transposes per bounce.
+  * A block is 1024 rays = n_groups coherent pixel tiles.  All shading
+    state is (8, 128) planes — one f32 vreg per state variable, so the
+    bounce body (RNG, BSDF, MIS, RR) runs at full VPU width.
+  * Traversal runs per GROUP (one tile) in the sweep orientation (rays on
+    sublanes, slots on lanes) inside a fori_loop over groups — one
+    compiled body, sequential executions, so a converged tile never
+    sweeps another tile's bins.  Groups are 32 rays (4x8-pixel tiles) for
+    VMEM-resident scenes and 128 rays (8x16 tiles) for streaming ones —
+    see _group_r for the measured rationale.  The plane <-> group-matrix
+    relayouts happen once per bounce for the whole block (batched).
+  * Bin picks stay in the vector domain: the K nearest candidate bins are
+    selected with (1,1)-shaped vector mins (no vector->scalar->vector
+    round-trip between picks); the K scalar extractions for the sweep
+    offsets happen in one batch, so their latency overlaps the sweeps.
+  * Bins are FAT: 256 slots for VMEM-resident scenes, 512 for
+    HBM-streaming ones (bvh/build.BIN_TARGET*).  Measured via
+    tools/sim_bins.py: halving/quartering the front-to-back round count of
+    the round-3 128-slot bins at near-equal swept slots — every round's
+    fixed cost (candidate scan, picks, loop control, DMA latency) is paid
+    1/2-1/4 as often, and each streaming DMA moves ~128 KB instead of
+    ~32 KB.
+
+Traversal per group is the ftb scheme (bvh/ftb.py): an entry matrix
+tn[r, c] = slab entry distance of ray r into bin c, rounds that sweep the
+K globally-nearest candidate bins with per-lane t-culling, exit when no
+lane has a candidate nearer than its committed hit.
 
 Shading attributes are gathered DURING the sweep by an MXU one-hot matmul:
 `first` (the per-ray argmin slot mask, (128 rays, 128 slots)) contracted
@@ -34,11 +46,14 @@ MC noise); interpret mode is exact.
 
 Light selection supports BOTH the reference's uniform pick and power
 sampling: the pick is a (L, 128) one-hot built from two CDF compares, and
-the light's 13 scalars arrive through one MXU contraction — no per-lane
-gathers, no block-shared pick approximation (cfg.light_block) needed.
+the light's 13 scalars arrive through one MXU contraction per group — no
+per-lane gathers.
 
 Semantics: the bounce body is integrator/mega.make_bounce_body — the same
 MIS/delta/RR state machine as the XLA wavefront (rayhit.rchit:666-797).
+Per-pixel estimates are invariant to the block regrouping: RNG streams are
+keyed by (pixel, sample) and traversal decisions depend only on the 128-ray
+tile, which is unchanged from round 3.
 """
 
 from __future__ import annotations
@@ -70,13 +85,28 @@ from .mega import (
 _BIG = 1e30
 _BIGI = 1 << 30
 LANES = 128
-R = 128  # rays per block (= LANES; one (1,128) plane per state variable)
-# bins swept per front-to-back round: amortizes the fixed per-round cost
-# (candidate matrix eval + min-reductions + while_loop control + streaming
-# DMA latency) over K 128-slot sweeps.  Measured on staircase2 (374 bins):
-# divergent deep bounces visit ~40+ bins per query, and the fixed cost per
-# round rivals the sweep itself.
-MEGA_KBINS = 4
+ROWS = 8  # sublane rows of shading state (one f32 vreg per state plane)
+BLOCK_R = ROWS * LANES  # rays per pallas block
+# triangle slots swept per front-to-back round (per group): bins swept
+# per round = max(1, ROUND_SLOTS // bin_slots).  Amortizes the fixed
+# per-round cost (candidate scan + picks + while_loop control + streaming
+# DMA latency) without over-sweeping when few candidates remain.
+ROUND_SLOTS = 512
+
+
+def _subgroups(stream: bool) -> int:
+    """Traversal subgroups per 128-ray group (each = one coherent pixel
+    tile with its OWN per-round bin pick and sub-sweep).
+
+    Measured (tools/microbench_sweep.py): the Woop chunk sweep is
+    COMPUTE-bound at ~5-6 G triangle-tests/s and a 32-row sub-sweep costs
+    ~0.88x proportional — so finer pick granularity is nearly free
+    per-ray, while each tile's front-to-back bin union (the masked-sweep
+    waste for incoherent deep bounces) shrinks 2.6x from 128-ray to
+    32-ray tiles (tools/sim_bins.py at B=32: staircase2 incoh rounds
+    53 -> 20).  Streaming scenes keep one subgroup: every picked bin costs
+    an HBM DMA round-trip, which the whole 128-ray group amortizes."""
+    return 1 if stream else 4
 
 # attr rows: 0-30 as mega._pack_tables, 31 = light-selection pdf of this
 # triangle's emitter (0 for non-emissive; used by exact-MIS BSDF-hit weights);
@@ -102,7 +132,7 @@ def _dotg(a, b, dims):
 
 
 def _t(x):
-    """(1, n) <-> (n, 1) transpose (Mosaic relayout)."""
+    """2-D transpose (Mosaic relayout); batched (8,128)<->(128,8) here."""
     return jnp.transpose(x)
 
 
@@ -118,12 +148,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
     chunks = slots // LANES
-    shape_rs = (R, LANES)  # (rays-sublane, slots-lane) sweep shape
     # streaming buffers are 8-row-aligned; the gather carries the padded row
     # count, shading reads only the first n_attr rows
     n_attr_rows = -(-n_attr // 8) * 8 if stream else n_attr
 
-    k_bins = min(MEGA_KBINS, n_bins)
+    subgroups = _subgroups(stream)
+    seg = 128 // subgroups  # rays per traversal tile (sub-sweep rows)
+    # bins swept per subgroup per round: 1 when picks are per-tile (picks
+    # are measured-free and K>1 over-sweeps converged tiles); the
+    # streaming path keeps K=2 so bin k+1's DMA prefetches under bin k's
+    # sweep (double buffering)
+    k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
 
     def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
                ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
@@ -136,7 +171,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             (woop_bufs, attr_bufs, woop_sems, attr_sems) = (
                 scratch[0:2], scratch[2:4], scratch[4:6], scratch[6:8])
         t0 = ts_ref[0, 0]
-        pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (1,128)
+        pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (8,128)
 
         r00, r01, r02 = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
         r10, r11, r12 = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
@@ -164,8 +199,8 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             return o, (dwx, dwy, dwz), seed
 
         def fill_tn(oT, dT, tmaxT):
-            """(R, c_pad) slab entry distances (bvh/ftb.py:_fill_entry,
-            value form).  oT/dT: 3-tuples of (R,1); tmaxT (R,1)."""
+            """(group_r, c_pad) slab entry distances (bvh/ftb.py:_fill_entry,
+            value form).  oT/dT: 3-tuples of (group_r,1); tmaxT (group_r,1)."""
             lox, loy, loz = (bounds_ref[i:i + 1, :] for i in range(3))
             hix, hiy, hiz = (bounds_ref[i:i + 1, :] for i in range(3, 6))
             ix = _inv_dir1(dT[0])
@@ -188,53 +223,68 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             return jnp.where(tf >= tn, tn, _BIG)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
-        slot_i = jax.lax.broadcasted_iota(jnp.int32, shape_rs, 1)
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, (seg, LANES), 1)
+        cap = cfg.debug_rounds_cap
 
-        def closest(o, d, alive):
-            """Front-to-back traversal; returns (t, hit, u, v, attrs) in
-            lane orientation ((1,128) planes; attrs = _NA planes)."""
-            oT = tuple(_t(x) for x in o)
-            dT = tuple(_t(x) for x in d)
-            tmaxT = _t(jnp.where(alive, _BIG, -_BIG))
-            tn = fill_tn(oT, dT, tmaxT)
-            ox = jnp.broadcast_to(oT[0], shape_rs)
-            oy = jnp.broadcast_to(oT[1], shape_rs)
-            oz = jnp.broadcast_to(oT[2], shape_rs)
-            dx = jnp.broadcast_to(dT[0], shape_rs)
-            dy = jnp.broadcast_to(dT[1], shape_rs)
-            dz = jnp.broadcast_to(dT[2], shape_rs)
+        def pick_bins(m, vis):
+            """K nearest candidate bins of one round for one subgroup.  All
+            selection math stays in the vector domain ((1,1)-shaped mins);
+            the K scalar extractions for the sweep offsets happen as one
+            batch at the end, so their vector->scalar latency overlaps the
+            sweeps.  When fewer than K candidates remain, m is all-BIG and
+            the leftover picks degenerate to bin 0 — a no-op re-sweep
+            (nothing improves on an already-committed t)."""
+            bvecs = []
+            for _ in range(k_bins):
+                mn = jnp.min(m, axis=1, keepdims=True)  # (1,1)
+                bv = jnp.min(jnp.where(m == mn, col, _BIGI), axis=1,
+                             keepdims=True)  # (1,1) int32
+                bvecs.append(bv)
+                m = jnp.where(col == bv, _BIG, m)
+                vis = jnp.where(col == bv, _BIG, vis)
+            return [b[0, 0] for b in bvecs], m, vis
 
-            def candidates(vis, bt):
-                act = tn + vis
-                return jnp.where(act < bt, act, _BIG)
+        def _sub(x, j):
+            return x[j * seg:(j + 1) * seg, :]
 
-            cap = cfg.debug_rounds_cap
+        def closest_group(oT, dT, tmaxT):
+            """Front-to-back traversal of one 128-ray group as `subgroups`
+            independent tiles: each tile picks ITS nearest candidate bin
+            per round and sub-sweeps it at (seg, 128) — rays never sweep a
+            neighbouring tile's bins.  oT/dT/tmaxT in sweep orientation
+            ((128,1) columns); returns bt/bu/bv (128,1) and battr
+            (128, n_attr_rows)."""
+            tn = fill_tn(oT, dT, tmaxT)  # (128, c_pad)
+            rows = [tuple(_sub(x, j) for x in oT + dT)
+                    for j in range(subgroups)]
 
             def cond(st):
                 ok = st[0] < _BIG
                 return ok if not cap else ok & (st[6] < cap)
 
-            def sweep(binv, wsrc, woff, asrc, bt, bu, bv, battr):
-                """Test one bin's slots; wsrc/woff locate its Woop rows,
-                asrc(c) yields the chunk's attribute rows."""
+            def sweep(j, wsrc, woff, asrc, bt, bu, bv, battr):
+                """Test one bin's slots for subgroup j ((seg,128) shapes);
+                wsrc/woff locate its Woop rows, asrc(c) the chunk's
+                attribute rows."""
+                ox, oy, oz, dx, dy, dz = rows[j]
                 for c in range(chunks):
                     t, u, v, ok = _woop_chunk_at(
                         wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
                     hit = ok & (t > 0.0) & (t < bt)
                     tm = jnp.where(hit, t, _BIG)
-                    t_it = jnp.min(tm, axis=1, keepdims=True)  # (R,1)
+                    t_it = jnp.min(tm, axis=1, keepdims=True)  # (seg,1)
                     improved = t_it < bt
                     # first-hit slot mask, tie-broken by slot order
-                    fs = jnp.min(jnp.where(tm == t_it, slot_i, 1 << 30),
+                    fs = jnp.min(jnp.where(tm == t_it, slot_i, _BIGI),
                                  axis=1, keepdims=True)
-                    first = (slot_i == fs) & hit  # (R rays, LANES slots)
+                    first = (slot_i == fs) & hit  # (seg rays, slots)
                     u_it = jnp.sum(jnp.where(first, u, 0.0), axis=1,
                                    keepdims=True)
                     v_it = jnp.sum(jnp.where(first, v, 0.0), axis=1,
                                    keepdims=True)
                     # MXU one-hot gather of the chunk's attribute rows
                     attr_new = _dotg(first.astype(jnp.float32), asrc(c),
-                                     ((1,), (1,)))  # (R rays, _NA)
+                                     ((1,), (1,)))  # (seg, n_attr)
                     bt = jnp.where(improved, t_it, bt)
                     bu = jnp.where(improved, u_it, bu)
                     bv = jnp.where(improved, v_it, bv)
@@ -243,102 +293,100 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def body(st):
                 _, vis, bt, bu, bv, battr = st[:6]
-                # K nearest candidate bins this round (amortizes the fixed
-                # per-round cost: candidates eval, min-reductions, loop
-                # control, DMA latency).  When fewer than K remain the
-                # leftover picks degenerate to bin 0 — a no-op re-sweep
-                # (nothing can improve on an already-committed t).
-                m = jnp.min(candidates(vis, bt), axis=0, keepdims=True)
-                bins = []
-                for _ in range(k_bins):
-                    mn = jnp.min(m)
-                    b = jnp.min(jnp.where(m == mn, col, _BIGI))
-                    b = jnp.where(b == _BIGI, 0, b)
-                    bins.append(b)
-                    m = jnp.where(col == b, _BIG, m)
-                    vis = jnp.where(col == b, _BIG, vis)
+                # pick phase (vector domain, all subgroups)
+                bins, vis2, mins = [], [], []
+                for j in range(subgroups):
+                    act = _sub(tn, j) + vis[j]
+                    cand = jnp.where(act < _sub(bt, j), act, _BIG)
+                    m = jnp.min(cand, axis=0, keepdims=True)
+                    bins_j, m, vis_j = pick_bins(m, vis[j])
+                    bins.append(bins_j)
+                    vis2.append(vis_j)
+                    # stale-bt candidate min for the loop guard: bt only
+                    # tightens during this round, so this keeps at least
+                    # the true candidate set alive (never exits early);
+                    # vis grows monotonically, so it terminates
+                    mins.append(jnp.min(m))
+                # sweep phase
                 if stream:
                     def start(k):
                         sl = k % 2
                         pltpu.make_async_copy(
-                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_ref.at[bins[0][k]], woop_bufs[sl],
                             woop_sems[sl]).start()
                         pltpu.make_async_copy(
-                            attr_ref.at[bins[k]], attr_bufs[sl],
+                            attr_ref.at[bins[0][k]], attr_bufs[sl],
                             attr_sems[sl]).start()
 
                     start(0)
                     for k in range(k_bins):
                         sl = k % 2
                         pltpu.make_async_copy(
-                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_ref.at[bins[0][k]], woop_bufs[sl],
                             woop_sems[sl]).wait()
                         pltpu.make_async_copy(
-                            attr_ref.at[bins[k]], attr_bufs[sl],
+                            attr_ref.at[bins[0][k]], attr_bufs[sl],
                             attr_sems[sl]).wait()
                         if k + 1 < k_bins:
                             start(k + 1)  # prefetch under this sweep
-                        asrc = (lambda s: lambda c:
-                                attr_bufs[s][:, c * LANES:(c + 1) * LANES])(sl)
+                        asrc = (lambda s_: lambda c: attr_bufs[s_][
+                            :, c * LANES:(c + 1) * LANES])(sl)
                         bt, bu, bv, battr = sweep(
-                            bins[k], woop_bufs[sl], 0, asrc,
-                            bt, bu, bv, battr)
+                            0, woop_bufs[sl], 0, asrc, bt, bu, bv, battr)
                 else:
-                    for k in range(k_bins):
-                        asrc = (lambda b: lambda c:
-                                attr_ref[b * chunks + c])(bins[k])
-                        bt, bu, bv, battr = sweep(
-                            bins[k], woop_ref, bins[k] * slots, asrc,
-                            bt, bu, bv, battr)
-                # stale-bt candidate min for the loop guard: bt only
-                # tightened during this round, so this keeps at least the
-                # true candidate set alive (never exits early); vis grows
-                # monotonically, so it terminates
-                return (jnp.min(m), vis, bt, bu, bv, battr, st[6] + 1)
+                    parts = []
+                    for j in range(subgroups):
+                        pj = (_sub(bt, j), _sub(bu, j), _sub(bv, j),
+                              _sub(battr, j))
+                        for k in range(k_bins):
+                            asrc = (lambda b: lambda c:
+                                    attr_ref[b * chunks + c])(bins[j][k])
+                            pj = sweep(j, woop_ref, bins[j][k] * slots,
+                                       asrc, *pj)
+                        parts.append(pj)
+                    if subgroups > 1:
+                        bt, bu, bv, battr = (
+                            jnp.concatenate([p[i] for p in parts], axis=0)
+                            for i in range(4))
+                    else:
+                        bt, bu, bv, battr = parts[0]
+                mn = mins[0]
+                for m_ in mins[1:]:
+                    mn = jnp.minimum(mn, m_)
+                return (mn, tuple(vis2), bt, bu, bv, battr, st[6] + 1)
 
-            vis0 = jnp.zeros((1, c_pad), jnp.float32)
+            vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
+                         for _ in range(subgroups))
             bt0 = jnp.minimum(tmaxT, _BIG)
-            mn0 = jnp.min(candidates(vis0, bt0))
-            z1 = jnp.zeros((R, 1), jnp.float32)
+            mn0 = jnp.min(jnp.where(tn < bt0, tn, _BIG))
+            z1 = jnp.zeros((128, 1), jnp.float32)
             init = (mn0, vis0, bt0, z1, z1,
-                    jnp.zeros((R, n_attr_rows), jnp.float32), jnp.int32(0))
+                    jnp.zeros((128, n_attr_rows), jnp.float32),
+                    jnp.int32(0))
             _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
-            hitT = bt < jnp.minimum(tmaxT, _BIG)
-            battr = jnp.transpose(battr)  # (_NA, R) — rows in lane orient.
-            attrs = tuple(battr[i:i + 1, :] for i in range(n_attr))
-            # transpose bools as f32 (Mosaic has no i1 transpose)
-            hit = _t(jnp.where(hitT, 1.0, 0.0)) > 0.5
-            return (_t(jnp.where(hitT, bt, _BIG)), hit, _t(bu), _t(bv), attrs)
+            return bt, bu, bv, battr
 
-        def any_hit(o, d, t_min, t_max, active):
-            oT = tuple(_t(x) for x in o)
-            dT = tuple(_t(x) for x in d)
-            tminT = _t(t_min)
-            tmaxT = _t(jnp.where(active, t_max, -_BIG))
+        def any_group(oT, dT, tminT, tmaxT):
+            """Occlusion traversal of one 128-ray group (same subgroup
+            structure as closest_group); returns occ (128,1) f32 (0 free /
+            BIG occluded)."""
             tn = fill_tn(oT, dT, tmaxT)
-            ox = jnp.broadcast_to(oT[0], shape_rs)
-            oy = jnp.broadcast_to(oT[1], shape_rs)
-            oz = jnp.broadcast_to(oT[2], shape_rs)
-            dx = jnp.broadcast_to(dT[0], shape_rs)
-            dy = jnp.broadcast_to(dT[1], shape_rs)
-            dz = jnp.broadcast_to(dT[2], shape_rs)
-
-            def candidates(vis, occ):
-                act = tn + vis + occ
-                return jnp.where(act < _BIG, act, _BIG)
-
-            cap = cfg.debug_rounds_cap
+            rows = [tuple(_sub(x, j) for x in oT + dT)
+                    for j in range(subgroups)]
+            tmins = [_sub(tminT, j) for j in range(subgroups)]
+            tmaxs = [_sub(tmaxT, j) for j in range(subgroups)]
 
             def cond(st):
                 ok = st[0] < _BIG
                 return ok if not cap else ok & (st[3] < cap)
 
-            def sweep(wsrc, woff, occ):
-                hit_any = jnp.zeros((R, 1), jnp.float32)
+            def sweep(j, wsrc, woff, occ):
+                ox, oy, oz, dx, dy, dz = rows[j]
+                hit_any = jnp.zeros((seg, 1), jnp.float32)
                 for c in range(chunks):
                     t, _u, _v, ok = _woop_chunk_at(
                         wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
-                    h = ok & (t > tminT) & (t < tmaxT)
+                    h = ok & (t > tmins[j]) & (t < tmaxs[j])
                     hit_any = jnp.maximum(
                         hit_any,
                         jnp.max(h.astype(jnp.float32), axis=1, keepdims=True))
@@ -346,62 +394,146 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def body(st):
                 _, vis, occ = st[:3]
-                m = jnp.min(candidates(vis, occ), axis=0, keepdims=True)
-                bins = []
-                for _ in range(k_bins):
-                    mn = jnp.min(m)
-                    b = jnp.min(jnp.where(m == mn, col, _BIGI))
-                    b = jnp.where(b == _BIGI, 0, b)
-                    bins.append(b)
-                    m = jnp.where(col == b, _BIG, m)
-                    vis = jnp.where(col == b, _BIG, vis)
+                bins, vis2, mins = [], [], []
+                for j in range(subgroups):
+                    act = _sub(tn, j) + vis[j] + _sub(occ, j)
+                    cand = jnp.where(act < _BIG, act, _BIG)
+                    m = jnp.min(cand, axis=0, keepdims=True)
+                    bins_j, m, vis_j = pick_bins(m, vis[j])
+                    bins.append(bins_j)
+                    vis2.append(vis_j)
+                    mins.append(jnp.min(m))
                 if stream:
                     def start(k):
                         sl = k % 2
                         pltpu.make_async_copy(
-                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_ref.at[bins[0][k]], woop_bufs[sl],
                             woop_sems[sl]).start()
 
                     start(0)
                     for k in range(k_bins):
                         sl = k % 2
                         pltpu.make_async_copy(
-                            woop_ref.at[bins[k]], woop_bufs[sl],
+                            woop_ref.at[bins[0][k]], woop_bufs[sl],
                             woop_sems[sl]).wait()
                         if k + 1 < k_bins:
                             start(k + 1)
-                        occ = sweep(woop_bufs[sl], 0, occ)
+                        occ = sweep(0, woop_bufs[sl], 0, occ)
                 else:
-                    for k in range(k_bins):
-                        occ = sweep(woop_ref, bins[k] * slots, occ)
-                return (jnp.min(m), vis, occ, st[3] + 1)
+                    parts = []
+                    for j in range(subgroups):
+                        oj = _sub(occ, j)
+                        for k in range(k_bins):
+                            oj = sweep(j, woop_ref, bins[j][k] * slots, oj)
+                        parts.append(oj)
+                    occ = (jnp.concatenate(parts, axis=0)
+                           if subgroups > 1 else parts[0])
+                mn = mins[0]
+                for m_ in mins[1:]:
+                    mn = jnp.minimum(mn, m_)
+                return (mn, tuple(vis2), occ, st[3] + 1)
 
-            vis0 = jnp.zeros((1, c_pad), jnp.float32)
-            occ0 = jnp.zeros((R, 1), jnp.float32)
-            mn0 = jnp.min(candidates(vis0, occ0))
+            vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
+                         for _ in range(subgroups))
+            occ0 = jnp.zeros((128, 1), jnp.float32)
+            mn0 = jnp.min(jnp.where(tn < _BIG, tn, _BIG))
             _, _, occ, _ = jax.lax.while_loop(
                 cond, body, (mn0, vis0, occ0, jnp.int32(0)))
-            return _t(occ) > 0.0
+            return occ
+
+        # group-column gather/scatter on (128, ROWS) values: Mosaic has no
+        # dynamic slicing of vector values, so column g is extracted with a
+        # masked lane reduction and written back with a masked select —
+        # both plain VPU ops with a traced g
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (128, ROWS), 1)
+
+        def _colg(M, g):
+            return jnp.sum(jnp.where(gcol == g, M, 0.0), axis=1,
+                           keepdims=True)
+
+        def _putg(M, col_v, g):
+            return jnp.where(gcol == g, col_v, M)
+
+        giota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, n_attr_rows, LANES), 0)
+
+        def closest(o, d, alive):
+            """All-group closest hit.  o/d/alive are (ROWS, LANES) shading
+            planes; returns lane-oriented planes + n_attr attr planes.  The
+            (ROWS,LANES)<->(128,ROWS) relayouts happen once per bounce for
+            the whole block."""
+            oT = tuple(_t(x) for x in o)  # (128, ROWS) each
+            dT = tuple(_t(x) for x in d)
+            tmaxT = _t(jnp.where(alive, _BIG, -_BIG))
+
+            def gbody(g, carry):
+                tC, uC, vC, aC = carry
+                bt, bu, bv, battr = closest_group(
+                    tuple(_colg(x, g) for x in oT),
+                    tuple(_colg(x, g) for x in dT),
+                    _colg(tmaxT, g))
+                battrT = jnp.transpose(battr)[None]  # (1, n_attr_rows, 128)
+                aC = jnp.where(giota3 == g, battrT, aC)
+                return (_putg(tC, bt, g), _putg(uC, bu, g),
+                        _putg(vC, bv, g), aC)
+
+            zc = jnp.zeros((128, ROWS), jnp.float32)
+            aC0 = jnp.zeros((ROWS, n_attr_rows, LANES), jnp.float32)
+            tC, uC, vC, aC = jax.lax.fori_loop(
+                0, ROWS, gbody, (zc + _BIG, zc, zc, aC0))
+
+            tL = _t(tC)  # (ROWS, LANES)
+            tmax_l = jnp.where(alive, _BIG, -_BIG)
+            hit = tL < jnp.minimum(tmax_l, _BIG)
+            battrA = jnp.transpose(aC, (1, 0, 2))  # (n_attr_rows, ROWS, 128)
+            attrs = tuple(battrA[i] for i in range(n_attr))
+            return (jnp.where(hit, tL, _BIG), hit, _t(uC), _t(vC), attrs)
+
+        def any_hit(o, d, t_min, t_max, active):
+            oT = tuple(_t(x) for x in o)
+            dT = tuple(_t(x) for x in d)
+            tminT = _t(t_min)
+            tmaxT = _t(jnp.where(active, t_max, -_BIG))
+
+            def gbody(g, occC):
+                occ = any_group(
+                    tuple(_colg(x, g) for x in oT),
+                    tuple(_colg(x, g) for x in dT),
+                    _colg(tminT, g), _colg(tmaxT, g))
+                return _putg(occC, occ, g)
+
+            occC = jax.lax.fori_loop(
+                0, ROWS, gbody, jnp.zeros((128, ROWS), jnp.float32))
+            return _t(occC) > 0.0
 
         lrow = jax.lax.broadcasted_iota(
             jnp.int32, (light_ref.shape[0], LANES), 0)
 
         def pick_light(seed, bounce):
             if light_mode == "power":
-                u = _uniform(seed, bounce, _CH_LIGHT_INDEX)  # (1,128)
+                u = _uniform(seed, bounce, _CH_LIGHT_INDEX)  # (8,128)
                 cdf_hi = light_ref[:, 13:14]  # (L8,1); last real row = 2.0
                 cdf_lo = light_ref[:, 14:15]  # shifted; first row = -1.0
-                onehot = ((u >= cdf_lo) & (u < cdf_hi)).astype(jnp.float32)
+                sel_rows = None
             else:
                 lbits = rng.random_bits(seed, bounce, _CH_LIGHT_INDEX)
-                lidx = _uniform_mod(lbits, n_lights)  # (1,128) int32
-                onehot = (lrow == lidx).astype(jnp.float32)
-            # (L8,16) x (L8,128) -> (16,128): rows 0-8 verts, 9-11 emission,
-            # 12 select pdf
-            lr = _dotg(light_ref[:, 0:13], onehot, ((0,), (0,)))
-            return ((lr[0:1], lr[1:2], lr[2:3]), (lr[3:4], lr[4:5], lr[5:6]),
-                    (lr[6:7], lr[7:8], lr[8:9]), (lr[9:10], lr[10:11], lr[11:12]),
-                    lr[12:13])
+                sel_rows = _uniform_mod(lbits, n_lights)  # (8,128) int32
+            # per group: (L8,13) x (L8,128) -> (13,128) MXU contraction;
+            # rows 0-8 verts, 9-11 emission, 12 select pdf
+            lrs = []
+            for g in range(ROWS):
+                if light_mode == "power":
+                    ug = u[g:g + 1, :]
+                    onehot = ((ug >= cdf_lo) & (ug < cdf_hi)).astype(
+                        jnp.float32)
+                else:
+                    onehot = (lrow == sel_rows[g:g + 1, :]).astype(
+                        jnp.float32)
+                lrs.append(_dotg(light_ref[:, 0:13], onehot, ((0,), (0,))))
+            lr = jnp.stack(lrs, axis=1)  # (13, ROWS, LANES)
+            return ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
+                    (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
+                    lr[12])
 
         if light_mode == "power":
             sel_pdf_of_hit = lambda a: a[31]  # noqa: E731
@@ -434,17 +566,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         )
 
         o0, d0, seed0 = fresh(jnp.uint32(0))
-        zf = jnp.zeros((1, LANES), jnp.float32)
-        zi = jnp.zeros((1, LANES), jnp.int32)
-        oi = jnp.ones((1, LANES), jnp.int32)
+        zf = jnp.zeros((ROWS, LANES), jnp.float32)
+        zi = jnp.zeros((ROWS, LANES), jnp.int32)
+        oi = jnp.ones((ROWS, LANES), jnp.int32)
         state = dict(
             ox=o0[0], oy=o0[1], oz=o0[2],
             dx=d0[0], dy=d0[1], dz=d0[2],
-            wr=jnp.ones((1, LANES), jnp.float32),
-            wg=jnp.ones((1, LANES), jnp.float32),
-            wb=jnp.ones((1, LANES), jnp.float32),
-            direct_weight=jnp.ones((1, LANES), jnp.float32),
-            prev_pdf=jnp.ones((1, LANES), jnp.float32),
+            wr=jnp.ones((ROWS, LANES), jnp.float32),
+            wg=jnp.ones((ROWS, LANES), jnp.float32),
+            wb=jnp.ones((ROWS, LANES), jnp.float32),
+            direct_weight=jnp.ones((ROWS, LANES), jnp.float32),
+            prev_pdf=jnp.ones((ROWS, LANES), jnp.float32),
             prev_nee=zi,
             was_delta=zi,
             count_emitted=oi,
@@ -452,8 +584,8 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             rad_r=zf, rad_g=zf, rad_b=zf,
             rays=zi,
             seed=seed0,
-            depth=jnp.zeros((1, LANES), jnp.uint32),
-            sample=jnp.zeros((1, LANES), jnp.uint32),
+            depth=jnp.zeros((ROWS, LANES), jnp.uint32),
+            sample=jnp.zeros((ROWS, LANES), jnp.uint32),
             it=jnp.int32(0),
         )
 
@@ -476,7 +608,7 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False):
     Returns (bounds (6, c_pad), woop_t (12, S), attr3 (S/128, _NA, 128),
     light (L8, 16), cam (1,13)).  With stream=True the woop/attr tables are
     instead laid out per-bin for HBM-resident DMA streaming: woop
-    (bins, 12, slots), attr (bins, n_attr, slots) — one contiguous block
+    (bins, 16, slots), attr (bins, n_attr, slots) — one contiguous block
     per bin, copied into VMEM scratch at each traversal round."""
     n_bins, slots = scene.bvh_bins, scene.bvh_bin_slots
     need = n_bins * slots
@@ -564,10 +696,18 @@ def mega_bvh_stream(scene: SceneData) -> bool:
     return mega_bvh_table_bytes(scene) > MEGA_BVH_TABLE_BYTES
 
 
-# streaming-mode caps: one bin's (12 + n_attr) x slots f32 rows must fit the
-# VMEM scratch buffer, and the (R, c_pad) entry matrix must stay small
+# streaming-mode caps: one bin's double-buffered, 8-row-padded VMEM scratch
+# (the ACTUAL allocation: 2 buffers x (16 woop + ceil(na/8)*8 attr rows) x
+# slots x 4 B) must fit the scratch budget, and the (group_r, c_pad) entry
+# matrix must stay small
 MEGA_BVH_STREAM_BIN_BYTES = 2 * 1024 * 1024
 MEGA_BVH_STREAM_MAX_BINS = 4096
+
+
+def _stream_bin_scratch_bytes(scene: SceneData) -> int:
+    na = _NA_TEX if scene.has_textures else _NA
+    na_pad = -(-na // 8) * 8
+    return 2 * (16 + na_pad) * scene.bvh_bin_slots * 4
 
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -583,9 +723,8 @@ def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
         return False
     if mega_bvh_table_bytes(scene) <= MEGA_BVH_TABLE_BYTES:
         return True
-    na = _NA_TEX if scene.has_textures else _NA
     return (
-        scene.bvh_bin_slots * (12 + na) * 4 <= MEGA_BVH_STREAM_BIN_BYTES
+        _stream_bin_scratch_bytes(scene) <= MEGA_BVH_STREAM_BIN_BYTES
         and scene.bvh_bins <= MEGA_BVH_STREAM_MAX_BINS
     )
 
@@ -594,19 +733,26 @@ def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
 def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
                     interpret: bool = False):
     """Render (H, W, 3) radiance (mean over cfg.spp) + total rays traced,
-    as one fused persistent kernel per 128-pixel block."""
+    as one fused persistent kernel per 1024-pixel block (8 tiles)."""
     light_mode = cfg.light_sampling
     stream = mega_bvh_stream(scene)
     bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
         scene, light_mode, stream=stream)
     n_pixels = cfg.width * cfg.height
-    # blocks are 8x16 PIXEL TILES, not 1x128 raster strips: a tile's bounce
-    # rays share ~2.8x less AABB perimeter, keeping the block's front-to-back
-    # bin union small (tools/sim_bins.py).  Out-of-image lanes of edge tiles
-    # re-render pixel 0 (identical work, identical value — scatter-safe).
+    # A block is ROWS*subgroups coherent pixel TILES (4x8 pixels for the
+    # 32-ray subgroup tiles of resident scenes, 8x16 for streaming's
+    # 128-ray groups): each traversal tile picks and sweeps its own bins
+    # (a tile's bounce rays share far less AABB perimeter than a raster
+    # strip, keeping its front-to-back bin union small — tools/sim_bins.py),
+    # while shading spans the whole 1024-ray block at full VPU width.
+    # Out-of-image lanes of edge tiles re-render pixel 0 (identical work,
+    # identical value — scatter-safe); whole pad tiles (when the tile count
+    # is not a multiple of tiles-per-block) re-render tile 0.
     import numpy as np
 
-    TH, TW = 8, 16
+    subgroups = _subgroups(stream)
+    seg = 128 // subgroups
+    TH, TW = (8, 16) if seg == 128 else (4, 8)
     nty, ntx = -(-cfg.height // TH), -(-cfg.width // TW)
     Y = (np.arange(nty)[:, None, None, None] * TH
          + np.arange(TH)[None, None, :, None])
@@ -616,8 +762,30 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     X = np.broadcast_to(X, (nty, ntx, TH, TW))
     valid = (Y < cfg.height) & (X < cfg.width)
     pix_np = np.where(valid, Y * cfg.width + X, 0).astype(np.int32)
-    n_blocks = nty * ntx
-    pix = jnp.asarray(pix_np.reshape(n_blocks, 1, R))
+    pix_np = pix_np.reshape(nty * ntx, seg)
+    valid = valid.reshape(nty * ntx, seg)
+    n_tiles = nty * ntx
+    tpb = ROWS * subgroups  # tiles per block
+    n_blocks = -(-n_tiles // tpb)
+    if n_blocks * tpb > n_tiles:
+        pad_tiles = n_blocks * tpb - n_tiles
+        pix_np = np.concatenate(
+            [pix_np, np.broadcast_to(pix_np[0], (pad_tiles, seg))])
+        valid = np.concatenate(
+            [valid, np.zeros((pad_tiles, seg), bool)])
+    # member i of block-local tile L = (row g = L // subgroups, lane
+    # segment j = L % subgroups) sits at state plane position
+    # (g, j*seg + i) — the coordinates closest_group's _sub slicing reads
+    flat_idx = np.concatenate([
+        (L // subgroups) * LANES + (L % subgroups) * seg + np.arange(seg)
+        for L in range(tpb)
+    ])
+    pix_blocks = np.zeros((n_blocks, BLOCK_R), np.int32)
+    valid_blocks = np.zeros((n_blocks, BLOCK_R), bool)
+    pix_blocks[:, flat_idx] = pix_np.reshape(n_blocks, BLOCK_R)
+    valid_blocks[:, flat_idx] = valid.reshape(n_blocks, BLOCK_R)
+    valid = valid_blocks
+    pix = jnp.asarray(pix_blocks.reshape(n_blocks, ROWS, LANES))
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     n_attr = _NA_TEX if scene.has_textures else _NA  # logical row count
@@ -626,12 +794,13 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
                           scene.num_lights, scene.kinds_present, light_mode,
                           n_attr=n_attr, stream=stream)
 
-    blk = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, ROWS, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
     full = lambda x: pl.BlockSpec(  # noqa: E731
         x.shape, lambda i: tuple(0 for _ in x.shape), memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((n_blocks, ROWS, LANES), jnp.float32)
     slots = scene.bvh_bin_slots
     scratch = []
     if stream:
@@ -654,7 +823,8 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
                   full(light), smem, smem],
         out_specs=[blk, blk, blk, blk],
         out_shape=[out_shape, out_shape, out_shape,
-                   jax.ShapeDtypeStruct((n_blocks, 1, R), jnp.int32)],
+                   jax.ShapeDtypeStruct((n_blocks, ROWS, LANES),
+                                        jnp.int32)],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -275,9 +275,21 @@ def build_scene(b: SceneBuilder) -> SceneData:
     # permutation is slot-based: every leaf owns exactly leaf_size slots and
     # unused slots (-1) become degenerate never-hit triangles, so leaf AABBs
     # stay as tight as the real SAH leaves (bvh/build.py).
-    from ..bvh.build import build_bvh
+    from ..bvh.build import BIN_TARGET, BIN_TARGET_STREAM, build_bvh
 
-    bvh = build_bvh(pos, num_tris)
+    # Bin size by expected residency: scenes whose fused-kernel tables cannot
+    # fit the VMEM budget even at perfect slot fill will stream bins from HBM
+    # per traversal round — those want fat bins (fewer DMA round-trips, each
+    # moving ~128 KB instead of ~32 KB).  VMEM-resident scenes keep finer
+    # bins for tighter per-ray culling.  Constants from the kernel module
+    # (lazy import: integrator.mega_bvh imports this module).
+    from ..integrator.mega_bvh import _NA, _NA_TEX, MEGA_BVH_TABLE_BYTES
+
+    na = _NA_TEX if b.textures else _NA
+    stream_likely = 4 * num_tris * (12 + na) > MEGA_BVH_TABLE_BYTES
+    bin_target = BIN_TARGET_STREAM if stream_likely else BIN_TARGET
+
+    bvh = build_bvh(pos, num_tris, bin_target=bin_target)
     perm = bvh.perm
     slots = perm.shape[0]
     if slots % PAD_MULTIPLE:
@@ -305,16 +317,17 @@ def build_scene(b: SceneBuilder) -> SceneData:
         bvh.leaf_size,
     )
 
-    from ..bvh.binned import MAX_VMEM_SLOTS, build_bins
+    from ..bvh.binned import MAX_BINS, build_bins
+    from ..integrator.mega_bvh import MEGA_BVH_STREAM_MAX_BINS
 
-    # scenes too big for VMEM-resident Pallas tables get finer bins (the
-    # streaming megakernel sweeps one bin per round out of a per-round DMA;
-    # 128-slot bins cut the per-round sweep 8x vs the coarse-cap layout)
-    n_slots_total = bvh.n_clusters_real * bvh.leaf_size
-    max_bins = 512 if n_slots_total <= MAX_VMEM_SLOTS else 4096
+    # named caps (not literals — ADVICE r3): resident scenes bound the bin
+    # count by the vote/entry-matrix width budget; streaming scenes by the
+    # streaming kernel's bin-table cap
+    max_bins = MEGA_BVH_STREAM_MAX_BINS if stream_likely else MAX_BINS
     bin_bounds, n_bins, bin_slots = build_bins(
         bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
         bvh.leaf_size, max_bins=max_bins,
+        slots_per_bin=bin_target if num_tris > 0 else 0,
     )
 
     if b.light_pos:

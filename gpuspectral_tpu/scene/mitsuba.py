@@ -263,7 +263,19 @@ def load_mitsuba_scene(
             props = _Props(elem)
             if stype == "obj":
                 fname = os.path.join(parent, props.strings.get("filename", ""))
-                pos, nrm, uv = load_obj(fname)
+                if (not os.path.exists(fname)
+                        and os.path.basename(fname) == "sphere.obj"):
+                    # The reference ships scenes referencing a sphere.obj
+                    # that is absent from its assets (test3/scene.xml:165-178
+                    # — its loader imports an empty mesh and the two glossy
+                    # spheres silently vanish, Loader.cpp:29-35).  Substitute
+                    # the native unit-sphere tessellation at the same
+                    # to_world so the dielectric + roughconductor spheres
+                    # actually render.  Dense enough that the pair
+                    # contributes >= 18k glossy triangles (config-3 scale).
+                    pos, nrm, uv = _make_sphere(props, lat=48, lon=96)
+                else:
+                    pos, nrm, uv = load_obj(fname)
             elif stype == "rectangle":
                 pos, nrm, uv = make_rectangle()
             elif stype == "cube":

@@ -99,7 +99,7 @@ def main():
     # un-permuted original triangles for the cut builds
     real = np.concatenate(bld.tri_pos).astype(np.float32)
     assert real.shape[0] == T, (real.shape, T)
-    for target in (64, 128, 256):
+    for target in (128, 256, 512, 1024):
         schemes[f"cut-{target}"] = cut_bins(real, real.shape[0], target)
 
     # --- ray sets ---
