@@ -1134,6 +1134,32 @@ def mega_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
+def render_mega_rows(scene: SceneData, cfg: RenderConfig, pix,
+                     timestamp0=0, interpret: bool = False):
+    """Run the brute-force megakernel over explicit pixel rows (possibly a
+    shard — parallel/dist.py shards the leading axis over the device mesh).
+    pix: (rows, LANES) int32 with rows a multiple of SUB.  Returns per-lane
+    radiance sums over cfg.spp + ray counts, each (rows, LANES)."""
+    woop_t, attr, light, camv = _pack_tables(scene)
+    rows = pix.shape[0]
+    assert rows % SUB == 0, rows
+    ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
+    kernel = _make_kernel(cfg, scene.num_tris, scene.num_lights,
+                          scene.kinds_present)
+    blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // SUB,),
+        in_specs=[blk, smem, smem, smem, smem, smem],
+        out_specs=[blk, blk, blk, blk],
+        out_shape=[out_shape, out_shape, out_shape,
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(pix, woop_t, attr, light, camv, ts)
+
+
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def render_mega(scene: SceneData, cfg: RenderConfig, timestamp0=0,
                 interpret: bool = False):
@@ -1141,29 +1167,13 @@ def render_mega(scene: SceneData, cfg: RenderConfig, timestamp0=0,
 
     Equivalent to path_tracer.render_image_stats but executed as a single
     persistent Pallas kernel."""
-    woop_t, attr, light, camv = _pack_tables(scene)
     n_pixels = cfg.width * cfg.height
     n_blocks = -(-n_pixels // BLOCK)
     padded = n_blocks * BLOCK
     pix = jnp.arange(padded, dtype=jnp.int32)
     pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES)
-    ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
-
-    kernel = _make_kernel(cfg, scene.num_tris, scene.num_lights,
-                          scene.kinds_present)
-
-    blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((n_blocks * SUB, LANES), jnp.float32)
-    rad_r, rad_g, rad_b, rays = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[blk, smem, smem, smem, smem, smem],
-        out_specs=[blk, blk, blk, blk],
-        out_shape=[out_shape, out_shape, out_shape,
-                   jax.ShapeDtypeStruct((n_blocks * SUB, LANES), jnp.int32)],
-        interpret=interpret,
-    )(pix, woop_t, attr, light, camv, ts)
+    rad_r, rad_g, rad_b, rays = render_mega_rows(
+        scene, cfg, pix, timestamp0, interpret=interpret)
 
     rad = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

@@ -729,25 +729,20 @@ def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
-def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
-                    interpret: bool = False):
-    """Render (H, W, 3) radiance (mean over cfg.spp) + total rays traced,
-    as one fused persistent kernel per 1024-pixel block (8 tiles)."""
-    light_mode = cfg.light_sampling
-    stream = mega_bvh_stream(scene)
-    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
-        scene, light_mode, stream=stream)
-    n_pixels = cfg.width * cfg.height
-    # A block is ROWS*subgroups coherent pixel TILES (4x8 pixels for the
-    # 32-ray subgroup tiles of resident scenes, 8x16 for streaming's
-    # 128-ray groups): each traversal tile picks and sweeps its own bins
-    # (a tile's bounce rays share far less AABB perimeter than a raster
-    # strip, keeping its front-to-back bin union small — tools/sim_bins.py),
-    # while shading spans the whole 1024-ray block at full VPU width.
-    # Out-of-image lanes of edge tiles re-render pixel 0 (identical work,
-    # identical value — scatter-safe); whole pad tiles (when the tile count
-    # is not a multiple of tiles-per-block) re-render tile 0.
+def _pix_blocks(cfg: RenderConfig, stream: bool):
+    """Host-side block layout.  A block is ROWS*subgroups coherent pixel
+    TILES (4x8 pixels for the 32-ray subgroup tiles of resident scenes,
+    8x16 for streaming's 128-ray groups): each traversal tile picks and
+    sweeps its own bins (a tile's bounce rays share far less AABB
+    perimeter than a raster strip, keeping its front-to-back bin union
+    small — tools/sim_bins.py), while shading spans the whole 1024-ray
+    block at full VPU width.  Out-of-image lanes of edge tiles re-render
+    pixel 0 (identical work, identical value — scatter-safe); whole pad
+    tiles (when the tile count is not a multiple of tiles-per-block)
+    re-render tile 0.
+
+    Returns (pix (n_blocks, ROWS, LANES) int32, valid (n_blocks, BLOCK_R)
+    bool) numpy arrays."""
     import numpy as np
 
     subgroups = _subgroups(stream)
@@ -784,8 +779,20 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     valid_blocks = np.zeros((n_blocks, BLOCK_R), bool)
     pix_blocks[:, flat_idx] = pix_np.reshape(n_blocks, BLOCK_R)
     valid_blocks[:, flat_idx] = valid.reshape(n_blocks, BLOCK_R)
-    valid = valid_blocks
-    pix = jnp.asarray(pix_blocks.reshape(n_blocks, ROWS, LANES))
+    return pix_blocks.reshape(n_blocks, ROWS, LANES), valid_blocks
+
+
+def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
+                           timestamp0=0, interpret: bool = False):
+    """Run the fused kernel over explicit pixel blocks (from _pix_blocks,
+    possibly a shard of them — parallel/dist.py shards the leading block
+    axis over the device mesh).  Returns per-lane radiance sums over
+    cfg.spp samples + per-lane ray counts, each (n_blocks, ROWS, LANES)."""
+    light_mode = cfg.light_sampling
+    stream = mega_bvh_stream(scene)
+    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
+        scene, light_mode, stream=stream)
+    n_blocks = pix.shape[0]
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     n_attr = _NA_TEX if scene.has_textures else _NA  # logical row count
@@ -814,7 +821,7 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
-    rad_r, rad_g, rad_b, rays = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[blk, full(bounds),
@@ -830,6 +837,18 @@ def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pix, bounds, woop_t, attr3, light, camv, ts)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_mega_bvh(scene: SceneData, cfg: RenderConfig, timestamp0=0,
+                    interpret: bool = False):
+    """Render (H, W, 3) radiance (mean over cfg.spp) + total rays traced,
+    as one fused persistent kernel per 1024-pixel block."""
+    n_pixels = cfg.width * cfg.height
+    pix_np, valid = _pix_blocks(cfg, mega_bvh_stream(scene))
+    pix = jnp.asarray(pix_np)
+    rad_r, rad_g, rad_b, rays = render_mega_bvh_blocks(
+        scene, cfg, pix, timestamp0, interpret=interpret)
 
     pix_flat = pix.reshape(-1)
     valid_flat = jnp.asarray(valid.reshape(-1))

@@ -65,3 +65,57 @@ def test_two_process_sharded_render_matches_single(tmp_path):
     np.testing.assert_allclose(res["img"], img1, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(res["loss"]), float(loss1), rtol=1e-5)
     np.testing.assert_allclose(res["grads"], np.asarray(grads1), rtol=1e-4, atol=1e-8)
+
+
+def test_sharded_fast_matches_unsharded_mega_bvh():
+    """render_image_sharded_fast routes through the fused-BVH megakernel
+    per shard (VERDICT r3 #3); on the virtual 8-device mesh its image must
+    match the unsharded kernel (same sample set: spp shards render
+    disjoint progressive-frame ranges whose union is the full spp)."""
+    import jax
+    import numpy as np
+
+    from gpuspectral_tpu.integrator.mega_bvh import (
+        mega_bvh_eligible, render_mega_bvh)
+    from gpuspectral_tpu.parallel.dist import (
+        make_mesh, render_image_sharded_fast)
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
+    cfg = RenderConfig(width=32, height=32, spp=4, max_depth=3,
+                       ray_batch=1024, use_bvh=True, jitter=False,
+                       light_sampling="power", mis_mode="exact")
+    assert mega_bvh_eligible(scene, cfg)
+    mesh = make_mesh(8, spp_shards=2)
+    img_s, nrays_s = render_image_sharded_fast(
+        scene, cfg, mesh, timestamp0=0, interpret=True)
+    img_u, nrays_u = render_mega_bvh(scene, cfg, 0, interpret=True)
+    img_s, img_u = np.asarray(img_s), np.asarray(img_u)
+    assert np.isfinite(img_s).all()
+    # identical sample set; only the accumulation order differs
+    assert np.allclose(img_s, img_u, atol=1e-5), np.abs(img_s - img_u).max()
+    assert float(nrays_s) == float(nrays_u)
+
+
+def test_sharded_fast_brute_path():
+    """Non-BVH configs route through the brute megakernel per shard."""
+    import numpy as np
+
+    from gpuspectral_tpu.integrator.mega import mega_eligible, render_mega
+    from gpuspectral_tpu.parallel.dist import (
+        make_mesh, render_image_sharded_fast)
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
+    cfg = RenderConfig(width=32, height=32, spp=2, max_depth=3,
+                       ray_batch=1024, use_bvh=False, jitter=False)
+    assert mega_eligible(scene, cfg)
+    mesh = make_mesh(8, spp_shards=2)
+    img_s, nrays_s = render_image_sharded_fast(
+        scene, cfg, mesh, timestamp0=0, interpret=True)
+    img_u, nrays_u = render_mega(scene, cfg, 0, interpret=True)
+    img_s, img_u = np.asarray(img_s), np.asarray(img_u)
+    assert np.allclose(img_s, img_u, atol=1e-5), np.abs(img_s - img_u).max()
+    assert float(nrays_s) == float(nrays_u)
