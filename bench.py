@@ -3,15 +3,24 @@
 
 Covers the full declared metric (BASELINE.json): Mrays/s at Cornell box
 512x512 @ 64 spp depth 50 (rays actually traced: closest-hit + shadow),
-grad-steps/s at Cornell 512^2@64spp (depth 5), config 3 (test3 glossy,
-512^2 @ 32 spp), and the BVH-scale scenes staircase2 (31k tris) and
-coffee (168k tris, HBM-streaming fused kernel).  The reference publishes
-no numbers (BASELINE.md), so vs_baseline is reported against the
-north-star working target of 100 Mrays/s/chip.
+grad-steps/s at Cornell 512^2@64spp (depth 5), config 3 (test3 WITH its
+glossy dielectric+roughconductor spheres — 18k glossy tris since round 4,
+512^2 @ 32 spp through the fused-BVH kernel), and ALL the BVH-scale
+reference scenes at their declared 64 spp: staircase2 (31k tris), coffee
+(168k tris, HBM-streaming), living-room (300k tris, 3968 lights,
+streaming).  Two extra gradient rows: a BVH-scene replay-gradient step
+(staircase2 albedo) and the config-5-scale 1024^2 @ 256 spp Cornell
+gradient step.  The reference publishes no numbers (BASELINE.md), so
+vs_baseline is reported against the north-star working target of
+100 Mrays/s/chip.
 
 Each row runs in its own subprocess: a TPU worker crash (or watchdog
 kill) in one row must not poison the rest — round 2's coffee row died
 mid-bench and took the grad row with it.
+
+NOTE on run-to-run variance: identical code measures within a ~±8% band
+through the axon TPU tunnel (measured round 4: Cornell 301-360 Mrays/s
+across five runs of three different revisions — BASELINE.md).
 """
 
 import json
@@ -24,7 +33,7 @@ sys.path.insert(0, HERE)
 
 TARGET_MRAYS = 100.0
 REF_SCENES = "/root/reference/src/GPUSpectral/assets/scenes"
-ROW_TIMEOUT_S = 420
+ROW_TIMEOUT_S = 1500  # cold compiles of multi-BSDF configs take ~15 min
 
 
 def run_row(name: str):
@@ -38,29 +47,47 @@ def run_row(name: str):
 
     cornell = os.path.join(HERE, "scenes/cornell/scene.xml")
 
-    def render_args(scene, spp, bvh):
+    def render_args(scene, spp, bvh, size="512x512", iters=2):
         return argparse.Namespace(
-            scene=scene, output="/dev/null", spp=spp, size="512x512",
+            scene=scene, output="/dev/null", spp=spp, size=size,
             depth=None, no_nee=False, jitter=False, tonemap=False, seed=0,
-            ray_batch=65536, metrics=None, warmup=1, iters=2, bvh=bvh,
+            ray_batch=65536, metrics=None, warmup=1, iters=iters, bvh=bvh,
             intersector="auto", packet_size=1024,
         )
 
     if name == "cornell":
         out = run_benchmark(render_args(cornell, 64, False))
-    elif name == "test3_32spp":
+    elif name == "test3_glossy":
+        # config 3: the spheres are REAL since round 4 (18k glossy tris
+        # routed through the fused-BVH kernel)
         out = run_benchmark(
-            render_args(os.path.join(REF_SCENES, "test3/scene.xml"), 32, False))
+            render_args(os.path.join(REF_SCENES, "test3/scene.xml"), 32,
+                        True, iters=1))
     elif name == "staircase2":
-        # spp=4 iterations for wall-clock; Mrays/s is the declared metric
-        # and is spp-independent (rays actually traced per second)
+        # declared sampler: 64 spp (scene.xml); Mrays/s is the metric
         out = run_benchmark(
-            render_args(os.path.join(REF_SCENES, "staircase2/scene.xml"), 4, True))
+            render_args(os.path.join(REF_SCENES, "staircase2/scene.xml"),
+                        64, True, iters=1))
     elif name == "coffee":
         out = run_benchmark(
-            render_args(os.path.join(REF_SCENES, "coffee/scene.xml"), 4, True))
+            render_args(os.path.join(REF_SCENES, "coffee/scene.xml"), 64,
+                        True, iters=1))
+    elif name == "living_room":
+        # declared film is 1280x720; benched at the same 16:9 aspect
+        out = run_benchmark(
+            render_args(os.path.join(REF_SCENES, "living-room/scene.xml"),
+                        64, True, size="512x288", iters=1))
     elif name == "grad":
         out = run_grad_benchmark(cornell, steps=3)
+    elif name == "grad_bvh":
+        # BVH-scene inversion at speed (VERDICT r3 #5a): fused-BVH replay
+        # gradients for staircase2's diffuse albedos
+        out = run_grad_benchmark(
+            os.path.join(REF_SCENES, "staircase2/scene.xml"), spp=8,
+            steps=2, use_bvh=True)
+    elif name == "grad_1024":
+        # config-5 scale on one chip (VERDICT r3 #6): 1024^2 @ 256 spp
+        out = run_grad_benchmark(cornell, size=1024, spp=256, steps=1)
     else:
         raise SystemExit(f"unknown row {name}")
     print("ROW_JSON:" + json.dumps(out))
@@ -72,9 +99,11 @@ def main() -> int:
         return 0
 
     detail = {}
-    rows = ["cornell", "test3_32spp", "staircase2", "coffee", "grad"]
+    rows = ["cornell", "test3_glossy", "staircase2", "coffee",
+            "living_room", "grad", "grad_bvh", "grad_1024"]
     for name in rows:
-        if name not in ("cornell", "grad") and not os.path.isdir(REF_SCENES):
+        needs_ref = name not in ("cornell", "grad", "grad_1024")
+        if needs_ref and not os.path.isdir(REF_SCENES):
             continue
         try:
             p = subprocess.run(
@@ -110,11 +139,20 @@ def main() -> int:
                 "coffee_mrays_per_s": round(
                     detail.get("coffee", {}).get("mrays_per_s", 0.0), 3
                 ),
-                "test3_mrays_per_s": round(
-                    detail.get("test3_32spp", {}).get("mrays_per_s", 0.0), 3
+                "living_room_mrays_per_s": round(
+                    detail.get("living_room", {}).get("mrays_per_s", 0.0), 3
+                ),
+                "test3_glossy_mrays_per_s": round(
+                    detail.get("test3_glossy", {}).get("mrays_per_s", 0.0), 3
                 ),
                 "grad_steps_per_s_512_64spp_d5": round(
                     detail.get("grad", {}).get("grad_steps_per_s", 0.0), 4
+                ),
+                "grad_bvh_steps_per_s": round(
+                    detail.get("grad_bvh", {}).get("grad_steps_per_s", 0.0), 4
+                ),
+                "grad_1024_seconds_per_step": round(
+                    detail.get("grad_1024", {}).get("seconds_per_step", 0.0), 2
                 ),
                 "detail": detail,
             }

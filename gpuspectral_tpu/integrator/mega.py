@@ -17,8 +17,10 @@ the final radiance store.
 
 Scope: brute-force scenes whose triangle/light tables fit SMEM (a few hundred
 triangles — which includes the Cornell-box headline config), untextured,
-uniform light selection.  Larger scenes use the LBVH path; gradients use the
-differentiable XLA path (this kernel is forward-only).  Semantics are
+uniform light selection.  Larger scenes use the fused-BVH megakernel
+(integrator/mega_bvh.py) or the XLA wavefront; gradients run as a second
+persistent replay kernel (integrator/mega_grad.py) where eligible, else the
+differentiable XLA path.  Semantics are
 bit-compatible with `path_tracer.trace_wavefront`: identical counter-based RNG
 draws (ops/rng.py works unchanged inside Pallas — it is pure elementwise
 uint32 math), identical MIS/delta bookkeeping, clamps and epsilons; tests

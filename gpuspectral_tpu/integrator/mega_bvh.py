@@ -143,7 +143,12 @@ def _inv_dir1(dx):
 
 def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                  n_lights: int, present: tuple, light_mode: str,
-                 n_attr: int = _NA, stream: bool = False):
+                 n_attr: int = _NA, stream: bool = False, grad_cfg=None):
+    """grad_cfg (path-replay backward mode): dict(rows=<static tuple of
+    diffuse bsdf rows>, n_lights=<emission-grad light count, 0 to
+    disable>).  The kernel then takes per-lane cotangent planes + the grad
+    rows' kd table and emits one (1,128) gradient lane-vector per block
+    instead of radiance (see integrator/mega_grad.py for the estimator)."""
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
@@ -161,8 +166,13 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
 
     def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
-               ts_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
-               *scratch):
+               ts_ref, *rest):
+        if grad_cfg:
+            (g_r_ref, g_g_ref, g_b_ref, kd_ref, grads_ref), scratch = (
+                rest[:5], rest[5:])
+        else:
+            (rad_r_ref, rad_g_ref, rad_b_ref, rays_ref), scratch = (
+                rest[:4], rest[4:])
         if stream:
             # streaming mode: woop_ref (bins, 16, slots) and attr_ref
             # (bins, n_attr, slots) live in HBM; each traversal round DMAs
@@ -521,6 +531,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             # per group: (L8,13) x (L8,128) -> (13,128) MXU contraction;
             # rows 0-8 verts, 9-11 emission, 12 select pdf
             lrs = []
+            ncols = 16 if grad_cfg else 13  # col 15 = light row id (lidx)
             for g in range(ROWS):
                 if light_mode == "power":
                     ug = u[g:g + 1, :]
@@ -529,18 +540,19 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 else:
                     onehot = (lrow == sel_rows[g:g + 1, :]).astype(
                         jnp.float32)
-                lrs.append(_dotg(light_ref[:, 0:13], onehot, ((0,), (0,))))
-            lr = jnp.stack(lrs, axis=1)  # (13, ROWS, LANES)
-            return ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
-                    (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
-                    lr[12])
+                lrs.append(_dotg(light_ref[:, 0:ncols], onehot, ((0,), (0,))))
+            lr = jnp.stack(lrs, axis=1)  # (ncols, ROWS, LANES)
+            out = ((lr[0], lr[1], lr[2]), (lr[3], lr[4], lr[5]),
+                   (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
+                   lr[12])
+            return out + (lr[15],) if grad_cfg else out
 
         if light_mode == "power":
             sel_pdf_of_hit = lambda a: a[31]  # noqa: E731
         else:
             sel_pdf_of_hit = lambda a: 1.0 / n_lights  # noqa: E731
 
-        if n_attr == _NA_TEX:
+        if n_attr in (_NA_TEX, _NA_TEX + 1):  # +1: grad scatter-key row
             def modulate(p, a, bu, bv):
                 # barycentric blend of baked per-corner texture colors into
                 # the reflectance params (path_tracer._texture_modulation's
@@ -553,6 +565,16 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         else:
             modulate = None
 
+        if grad_cfg:
+            from .mega_grad import make_diffuse_grad_hook
+
+            g_pix = (g_r_ref[0], g_g_ref[0], g_b_ref[0])
+            grad_hook = make_diffuse_grad_hook(
+                list(grad_cfg["rows"]), grad_cfg["n_lights"], g_pix, kd_ref,
+                bidx_row=n_attr - 1)
+        else:
+            grad_hook = None
+
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -563,6 +585,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             pix=pix, spp=spp,
             modulate=modulate,
             sync_regen=cfg.mega_sync_regen,
+            grad_hook=grad_hook,
         )
 
         o0, d0, seed0 = fresh(jnp.uint32(0))
@@ -588,21 +611,31 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             sample=jnp.zeros((ROWS, LANES), jnp.uint32),
             it=jnp.int32(0),
         )
+        if grad_cfg:
+            from .mega_grad import init_grad_state, reduce_grads_to_lanes
+
+            init_grad_state(state, zf, zi, len(grad_cfg["rows"]),
+                            grad_cfg["n_lights"])
 
         def cond(st):
             exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
             return (st["it"] < max_iters) & (~jnp.all(exhausted))
 
         state = jax.lax.while_loop(cond, body, state)
-        rad_r_ref[0] = state["rad_r"]
-        rad_g_ref[0] = state["rad_g"]
-        rad_b_ref[0] = state["rad_b"]
-        rays_ref[0] = state["rays"]
+        if grad_cfg:
+            grads_ref[0] = reduce_grads_to_lanes(
+                state, len(grad_cfg["rows"]), grad_cfg["n_lights"])
+        else:
+            rad_r_ref[0] = state["rad_r"]
+            rad_g_ref[0] = state["rad_g"]
+            rad_b_ref[0] = state["rad_b"]
+            rays_ref[0] = state["rays"]
 
     return kernel
 
 
-def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False):
+def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False,
+                     grad: bool = False):
     """Device tables for the fused kernel (all jit-traceable).
 
     Returns (bounds (6, c_pad), woop_t (12, S), attr3 (S/128, _NA, 128),
@@ -639,6 +672,12 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False):
                                 zeros + bu_, zeros + bv_)
             corners.append(c.T)  # (3, T)
         attr = jnp.concatenate([attr] + corners, axis=0)
+    if grad:
+        # replay-backward scatter key: the hit's bsdf-table row.  LAST row
+        # (after the texture block) so the kernel's fixed texture-row
+        # indices (32-40) stay valid; the kernel reads it as a[n_attr-1].
+        attr = jnp.concatenate(
+            [attr, scene.tri_bsdf[None, :].astype(jnp.float32)], axis=0)
     n_attr = attr.shape[0]
     t = attr.shape[1]
     if t < need:
@@ -672,7 +711,8 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False):
     light = jnp.concatenate(
         [scene.light_pos.reshape(L, 9), scene.light_emission,
          prob[:, None], cdf_hi[:, None], cdf_lo[:, None],
-         jnp.zeros((L, 1), jnp.float32)],
+         # col 15: light row id, contracted out as `lidx` in grad mode
+         jnp.arange(L, dtype=jnp.float32)[:, None]],
         axis=1,
     )
     if L8 > L:

@@ -82,6 +82,99 @@ def mega_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
+def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
+                           bidx_row):
+    """Shared path-replay gradient hook (mega.make_bounce_body grad_hook).
+
+    grad_rows: static list of DIFFUSE bsdf-table rows to differentiate.
+    The counting identity stays exact on MIXED scenes: the path throughput
+    factorizes as W = prod_k f_k cos/pdf and only diffuse bounces on row b
+    carry kd_b, so dW/dkd_b = n_b W / kd_b with n_b the number of prior
+    row-b bounces — non-diffuse factors are kd-independent constants.
+    Emission gradients are tracked for the first n_grad_lights lights
+    (0 disables them: big-light-count scenes get kd-only gradients).
+    bidx_row: attr row holding the hit's bsdf-table index."""
+    b2f = lambda b: jnp.where(b, 1.0, 0.0)  # noqa: E731
+
+    def grad_hook(st, ctx):
+        a = ctx["a"]
+        W = ctx["weight"]
+        accf = b2f(ctx["acc"])
+        hitm = accf * b2f(ctx["hit"])
+        neem = accf * b2f(ctx["nee_done"]) * ctx["lfront"]
+        bidx = jnp.round(a[bidx_row]).astype(jnp.int32)
+        lhit = jnp.round(a[13]).astype(jnp.int32)
+        emit_coeff = ctx["emit_w"] * ctx["light_flag"]
+        nee_s = ctx["nee_s"]
+        e = ctx["e"]
+        st = dict(st)
+        # counts are per-SAMPLE: a lane at depth 0 just started a fresh
+        # path (regeneration reset), so its prior-factor counts are zero
+        fresh_path = st["depth"] == 0
+        for i, b in enumerate(grad_rows):
+            selb = b2f(bidx == b)
+            nbi = jnp.where(fresh_path, 0, st[f"n_{i}"])
+            nb = nbi.astype(jnp.float32)
+            for c in range(3):
+                # suffix: this bounce's contribution through the n_b prior
+                # kd_b factors of W; direct: this bounce's NEE.  For
+                # diffuse, f_light = kd*tex/pi is MULTIPLICATIVE in kd
+                # (tex = 1 untextured), so d f_light/d kd = f_light/kd —
+                # this also covers vertex-sampled texture modulation.
+                dfl = ctx["f_light"][c] / jnp.maximum(kd_ref[i, c], _KD_EPS)
+                direct = neem * selb * nee_s * W[c] * ctx["lemit"][c] * dfl
+                suffix = accf * e[c] * nb / jnp.maximum(kd_ref[i, c], _KD_EPS)
+                st[f"gkd_{i}_{c}"] = st[f"gkd_{i}_{c}"] + g_pix[c] * (
+                    direct + suffix)
+            st[f"n_{i}"] = nbi + jnp.where(
+                ctx["cont"] & (bidx == b), 1, 0)
+        for li in range(n_grad_lights):
+            sel_hit = hitm * b2f(lhit == li)
+            sel_nee = neem * b2f(ctx["lidx"] == li)
+            for c in range(3):
+                # d e/d tri_emission[tri(l), c] (emitter-hit term)
+                st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + (
+                    g_pix[c] * sel_hit * emit_coeff * W[c])
+                # d e/d light_emission[l, c] (NEE term)
+                st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + (
+                    g_pix[c] * sel_nee * nee_s * ctx["f_light"][c] * W[c])
+        return st
+
+    return grad_hook
+
+
+def init_grad_state(state, zf, zi, n_rows, n_grad_lights):
+    for i in range(n_rows):
+        state[f"n_{i}"] = zi
+        for c in range(3):
+            state[f"gkd_{i}_{c}"] = zf
+    for li in range(n_grad_lights):
+        for c in range(3):
+            state[f"gte_{li}_{c}"] = zf
+            state[f"gle_{li}_{c}"] = zf
+
+
+def reduce_grads_to_lanes(state, n_rows, n_grad_lights):
+    """Block-level reduction of the gradient planes into one (1,128) lane
+    vector: [0,3R) d kd, then 3L tri_emission, then 3L light_emission."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.zeros((1, 128), jnp.float32)
+    idx = 0
+    for i in range(n_rows):
+        for c in range(3):
+            out = jnp.where(lane == idx, jnp.sum(state[f"gkd_{i}_{c}"]), out)
+            idx += 1
+    for li in range(n_grad_lights):
+        for c in range(3):
+            out = jnp.where(lane == idx, jnp.sum(state[f"gte_{li}_{c}"]), out)
+            idx += 1
+    for li in range(n_grad_lights):
+        for c in range(3):
+            out = jnp.where(lane == idx, jnp.sum(state[f"gle_{li}_{c}"]), out)
+            idx += 1
+    return out
+
+
 def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
                       n_bsdfs: int):
     """The replay kernel: mega.py's kernel plus cotangent inputs, gradient
@@ -206,48 +299,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
                     (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
                     1.0 / n_lights, lidx)
 
-        b2f = lambda b: jnp.where(b, 1.0, 0.0)  # noqa: E731
-
-        def grad_hook(st, ctx):
-            a = ctx["a"]
-            W = ctx["weight"]
-            accf = b2f(ctx["acc"])
-            hitm = accf * b2f(ctx["hit"])
-            neem = accf * b2f(ctx["nee_done"]) * ctx["lfront"]
-            bidx = jnp.round(a[_NA]).astype(jnp.int32)  # appended bsdf row
-            lhit = jnp.round(a[13]).astype(jnp.int32)
-            emit_coeff = ctx["emit_w"] * ctx["light_flag"]
-            nee_s = ctx["nee_s"]
-            e = ctx["e"]
-            st = dict(st)
-            # counts are per-SAMPLE: a lane at depth 0 just started a fresh
-            # path (regeneration reset), so its prior-factor counts are zero
-            fresh_path = st["depth"] == 0
-            for b in range(B):
-                selb = b2f(bidx == b)
-                nbi = jnp.where(fresh_path, 0, st[f"n_{b}"])
-                nb = nbi.astype(jnp.float32)
-                for c in range(3):
-                    # suffix: this bounce's contribution through the n_b
-                    # prior kd_b factors of W; direct: this bounce's NEE
-                    # f_light = kd/pi
-                    direct = neem * selb * nee_s * W[c] * ctx["lemit"][c] / M_PI
-                    suffix = accf * e[c] * nb / jnp.maximum(kd_ref[b, c], _KD_EPS)
-                    st[f"gkd_{b}_{c}"] = st[f"gkd_{b}_{c}"] + g_pix[c] * (
-                        direct + suffix)
-                st[f"n_{b}"] = nbi + jnp.where(
-                    ctx["cont"] & (bidx == b), 1, 0)
-            for li in range(L):
-                sel_hit = hitm * b2f(lhit == li)
-                sel_nee = neem * b2f(ctx["lidx"] == li)
-                for c in range(3):
-                    # d e/d tri_emission[tri(l), c] (emitter-hit term)
-                    st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + (
-                        g_pix[c] * sel_hit * emit_coeff * W[c])
-                    # d e/d light_emission[l, c] (NEE term)
-                    st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + (
-                        g_pix[c] * sel_nee * nee_s * ctx["f_light"][c] * W[c])
-            return st
+        grad_hook = make_diffuse_grad_hook(
+            list(range(B)), L, g_pix, kd_ref, bidx_row=_NA)
 
         body = make_bounce_body(
             cfg, (BSDF_DIFFUSE,),
@@ -280,14 +333,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
             sample=jnp.zeros((SUB, LANES), jnp.uint32),
             it=jnp.int32(0),
         )
-        for b in range(B):
-            state[f"n_{b}"] = zi
-            for c in range(3):
-                state[f"gkd_{b}_{c}"] = zf
-        for li in range(L):
-            for c in range(3):
-                state[f"gte_{li}_{c}"] = zf
-                state[f"gle_{li}_{c}"] = zf
+        init_grad_state(state, zf, zi, B, L)
 
         def cond(st):
             exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
@@ -295,22 +341,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
 
         state = jax.lax.while_loop(cond, body, state)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        out = jnp.zeros((1, 128), jnp.float32)
-        idx = 0
-        for b in range(B):
-            for c in range(3):
-                out = jnp.where(lane == idx, jnp.sum(state[f"gkd_{b}_{c}"]), out)
-                idx += 1
-        for li in range(L):
-            for c in range(3):
-                out = jnp.where(lane == idx, jnp.sum(state[f"gte_{li}_{c}"]), out)
-                idx += 1
-        for li in range(L):
-            for c in range(3):
-                out = jnp.where(lane == idx, jnp.sum(state[f"gle_{li}_{c}"]), out)
-                idx += 1
-        grads_ref[0] = out
+        grads_ref[0] = reduce_grads_to_lanes(state, B, L)
 
     return kernel
 
@@ -407,6 +438,174 @@ def render_mega_diff(scene: SceneData, cfg: RenderConfig, timestamp0=0,
     path-replay backward kernel (gradients w.r.t. bsdf_params kd columns,
     tri_emission, light_emission; zeros elsewhere)."""
     f = _diff_fn(cfg, interpret)
+    sg = jax.lax.stop_gradient
+    return f(scene.bsdf_params, scene.tri_emission, scene.light_emission,
+             sg(scene), jnp.asarray(timestamp0, jnp.uint32))
+
+# ---------------------------------------------------------------------------
+# Fused-BVH path-replay backward (VERDICT r3 #5a): the same estimator run
+# against integrator/mega_bvh's traversal, so BVH-scene inversion leaves the
+# XLA-wavefront 0.05-steps/s class.  Mixed-BSDF scenes are supported: kd
+# gradients cover up to MAX_GRAD_BSDFS *diffuse* rows (see
+# make_diffuse_grad_hook for why the counting identity stays exact), and
+# emission gradients are tracked when the scene has <= MAX_GRAD_LIGHTS
+# lights (big-light-count scenes get kd-only gradients).
+# ---------------------------------------------------------------------------
+
+
+def mega_bvh_grad_rows(scene: SceneData) -> tuple:
+    """Static tuple of diffuse bsdf rows the fused backward differentiates
+    (first MAX_GRAD_BSDFS).  Needs a concrete scene (host-side call)."""
+    kinds = np.asarray(scene.bsdf_kind)
+    rows = np.nonzero(kinds == BSDF_DIFFUSE)[0][:MAX_GRAD_BSDFS]
+    return tuple(int(r) for r in rows)
+
+
+def mega_bvh_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
+    from .mega_bvh import mega_bvh_eligible
+
+    return (
+        mega_bvh_eligible(scene, cfg)
+        and cfg.max_depth <= cfg.rr_start_depth
+        and len(mega_bvh_grad_rows(scene)) > 0
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "grad_rows", "n_grad_lights",
+                                   "interpret"))
+def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
+                       grad_rows: tuple, n_grad_lights: int,
+                       interpret: bool = False):
+    """Run the fused-BVH replay kernel; returns (d_bsdf_params,
+    d_tri_emission, d_light_emission) summed over all blocks."""
+    from .mega_bvh import (
+        _NA as NA_BVH, _NA_TEX as NA_TEX_BVH, LANES as B_LANES, ROWS,
+        _make_kernel as _make_bvh_kernel, _pack_tables_bvh, _pix_blocks,
+        mega_bvh_stream)
+
+    light_mode = cfg.light_sampling
+    stream = mega_bvh_stream(scene)
+    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
+        scene, light_mode, stream=stream, grad=True)
+    # + 1: the appended bsdf-row scatter key (last attr row)
+    n_attr = (NA_TEX_BVH if scene.has_textures else NA_BVH) + 1
+    assert attr3.shape[1] == (-(-n_attr // 8) * 8 if stream else n_attr)
+    R = len(grad_rows)
+    L = scene.num_lights
+    kd = scene.bsdf_params[jnp.asarray(grad_rows), 0:3]
+
+    n_pixels = cfg.width * cfg.height
+    pix_np, valid = _pix_blocks(cfg, stream)
+    pix = jnp.asarray(pix_np)
+    n_blocks = pix.shape[0]
+    # cotangent planes in block layout; img = rad/spp so d rad = g/spp.
+    # Invalid (pad) lanes re-render real pixels — zero their cotangent.
+    gflat = g.reshape(n_pixels, 3) / cfg.spp
+    gp = gflat[pix.reshape(-1)] * jnp.asarray(
+        valid.reshape(-1, 1), jnp.float32)
+    gp = gp.reshape(n_blocks, ROWS, B_LANES, 3)
+    ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
+
+    kernel = _make_bvh_kernel(
+        cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad, L,
+        scene.kinds_present, light_mode, n_attr=n_attr, stream=stream,
+        grad_cfg=dict(rows=grad_rows, n_lights=n_grad_lights))
+
+    blk = pl.BlockSpec((1, ROWS, B_LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(  # noqa: E731
+        x.shape, lambda i: tuple(0 for _ in x.shape), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    slots = scene.bvh_bin_slots
+    scratch = []
+    if stream:
+        scratch = [
+            pltpu.VMEM((16, slots), jnp.float32),
+            pltpu.VMEM((16, slots), jnp.float32),
+            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
+            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    grads = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[blk, full(bounds),
+                  hbm if stream else full(woop_t),
+                  hbm if stream else full(attr3),
+                  full(light), smem, smem, blk, blk, blk, smem],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, 128), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pix, bounds, woop_t, attr3, light, camv, ts,
+      gp[..., 0], gp[..., 1], gp[..., 2], kd)
+
+    tot = jnp.sum(grads.reshape(n_blocks, 128), axis=0)  # (128,)
+    d_kd = tot[: 3 * R].reshape(R, 3)
+    d_bp = jnp.zeros_like(scene.bsdf_params)
+    d_bp = d_bp.at[jnp.asarray(grad_rows), 0:3].set(d_kd)
+    Lg = n_grad_lights
+    if Lg:
+        d_te_l = tot[3 * R: 3 * R + 3 * Lg].reshape(Lg, 3)
+        d_le_g = tot[3 * R + 3 * Lg: 3 * R + 6 * Lg].reshape(Lg, 3)
+        d_te_l = jnp.concatenate(
+            [d_te_l, jnp.zeros((L - Lg, 3), jnp.float32)])
+        d_le = jnp.concatenate(
+            [d_le_g, jnp.zeros((L - Lg, 3), jnp.float32)])
+        d_te = d_te_l[jnp.maximum(scene.tri_light_idx, 0)]
+        d_te = jnp.where((scene.tri_light_idx >= 0)[:, None], d_te, 0.0)
+    else:
+        d_te = jnp.zeros_like(scene.tri_emission)
+        d_le = jnp.zeros_like(scene.light_emission)
+    return d_bp, d_te, d_le
+
+
+@lru_cache(maxsize=None)
+def _diff_fn_bvh(cfg: RenderConfig, grad_rows: tuple, n_grad_lights: int,
+                 interpret: bool):
+    from .mega_bvh import render_mega_bvh
+
+    @jax.custom_vjp
+    def f(bp, te, le, scene_rest, ts):
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        return render_mega_bvh(sc, cfg, ts, interpret=interpret)[0]
+
+    def fwd(bp, te, le, scene_rest, ts):
+        return f(bp, te, le, scene_rest, ts), (bp, te, le, scene_rest, ts)
+
+    def bwd(res, g):
+        bp, te, le, scene_rest, ts = res
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        d_bp, d_te, d_le = _mega_bvh_backward(
+            sc, cfg, ts, g, grad_rows, n_grad_lights, interpret=interpret)
+        return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
+                np.zeros(jnp.shape(ts), jax.dtypes.float0))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_mega_bvh_diff(scene: SceneData, cfg: RenderConfig, timestamp0=0,
+                         interpret: bool = False, grad_rows=None):
+    """Differentiable fused-BVH render: (H, W, 3) image whose vjp runs the
+    BVH path-replay backward kernel.  Gradients cover the kd columns of the
+    diffuse rows in `grad_rows` (default: mega_bvh_grad_rows(scene) —
+    requires a concrete scene when omitted) and, for scenes with
+    <= MAX_GRAD_LIGHTS lights, emitter radiance; zeros elsewhere."""
+    if grad_rows is None:
+        grad_rows = mega_bvh_grad_rows(scene)
+    n_grad_lights = (scene.num_lights
+                     if scene.num_lights <= MAX_GRAD_LIGHTS else 0)
+    f = _diff_fn_bvh(cfg, tuple(grad_rows), n_grad_lights, interpret)
     sg = jax.lax.stop_gradient
     return f(scene.bsdf_params, scene.tri_emission, scene.light_emission,
              sg(scene), jnp.asarray(timestamp0, jnp.uint32))

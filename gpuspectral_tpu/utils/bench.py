@@ -61,7 +61,7 @@ def run_benchmark(args) -> dict:
 
 def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
                        depth: int = 5, ray_batch: int = 65536,
-                       steps: int = 2) -> dict:
+                       steps: int = 2, use_bvh: bool = False) -> dict:
     """Gradient-step throughput at the headline config (BASELINE.json
     metric: grad-steps/s on Cornell 512^2@64spp): one Adam-less
     value_and_grad of the MSE against a fixed target through the
@@ -75,20 +75,31 @@ def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
 
     scene, _ = load_mitsuba_scene(scene_path)
     cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=depth,
-                       ray_batch=ray_batch, grad_remat="sample")
+                       ray_batch=ray_batch, grad_remat="sample",
+                       use_bvh=use_bvh)
     n_pixels = size * size
     target = jnp.zeros((n_pixels, 3), jnp.float32)
 
-    from ..integrator.mega_grad import mega_grad_eligible, render_mega_diff
+    from ..integrator.mega_grad import (
+        mega_bvh_grad_eligible, mega_grad_eligible, render_mega_bvh_diff,
+        render_mega_diff)
 
-    if mega_grad_eligible(scene, cfg) and jax.default_backend() == "tpu":
+    render_diff = None
+    kernel_name = "xla"
+    if jax.default_backend() == "tpu":
         # fused path-replay kernels: forward = megakernel, backward = replay
-        # kernel (integrator/mega_grad.py)
+        # kernel (integrator/mega_grad.py); BVH scenes use the fused-BVH
+        # pair (VERDICT r3 #5a)
+        if mega_grad_eligible(scene, cfg):
+            render_diff, kernel_name = render_mega_diff, "mega"
+        elif mega_bvh_grad_eligible(scene, cfg):
+            render_diff, kernel_name = render_mega_bvh_diff, "mega_bvh"
+    if render_diff is not None:
         @jax.jit
         def grad_step(params, ts):
             def loss(p):
                 sc = scene.replace(bsdf_params=p)
-                img = render_mega_diff(sc, cfg, ts).reshape(n_pixels, 3)
+                img = render_diff(sc, cfg, ts).reshape(n_pixels, 3)
                 return jnp.mean((img - target) ** 2)
 
             return jax.value_and_grad(loss)(params)
@@ -134,10 +145,19 @@ def run_grad_benchmark(scene_path: str, size: int = 512, spp: int = 64,
         np.asarray(g)
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    return {
+    out = {
         "seconds_per_step": dt,
         "grad_steps_per_s": 1.0 / dt,
         "mpaths_per_s_fwd_bwd": n_pixels * spp / dt / 1e6,
         "compile_seconds": round(compile_s, 1),
         "size": size, "spp": spp, "max_depth": depth,
+        "kernel": kernel_name,
     }
+    try:  # best effort: peak HBM (not all backends expose memory_stats)
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            out["peak_hbm_gb"] = round(peak / 2**30, 3)
+    except Exception:  # noqa: BLE001
+        pass
+    return out

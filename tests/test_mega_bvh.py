@@ -107,10 +107,18 @@ def test_streaming_mode_bitwise_matches_resident(monkeypatch):
     assert scene.bvh_bins > 1  # the DMA index must actually vary
     cfg = _cfg(width=16, height=16, spp=1, max_depth=3, ray_batch=256,
                light_sampling="power", mis_mode="exact")
+    # force the RESIDENT kernel into the streaming traversal structure
+    # (1 subgroup per 128-ray group) so the comparison isolates table
+    # residency: the only difference left is where the bin rows live
+    monkeypatch.setattr(mb, "_subgroups", lambda stream: 1)
+    render_mega_bvh.clear_cache()  # drop any 4-subgroup compilation
     resident = np.asarray(render_mega_bvh(scene, cfg, 0, interpret=True)[0])
     monkeypatch.setattr(mb, "MEGA_BVH_TABLE_BYTES", 1)
     assert mb.mega_bvh_stream(scene)
     assert mb.mega_bvh_eligible(scene, cfg)
+    # the jit cache would otherwise serve the resident-compiled program
+    # (same avals/statics — advisor r3: the streaming kernel never ran)
+    render_mega_bvh.clear_cache()
     streamed = np.asarray(render_mega_bvh(scene, cfg, 0, interpret=True)[0])
     assert np.isfinite(streamed).all()
     assert np.array_equal(resident, streamed)

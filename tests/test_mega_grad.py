@@ -161,3 +161,185 @@ def test_grads_match_xla_jitter_exact_mis(cornell_scene):
     got_le = np.asarray(g_got[1])
     ls = max(np.abs(ref_le).max(), 1e-12)
     np.testing.assert_allclose(got_le, ref_le, atol=2e-3 * ls, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused-BVH replay backward (render_mega_bvh_diff)
+# ---------------------------------------------------------------------------
+
+
+def _slot_mode_cornell():
+    """Cornell through the subtree-cut slot layout (a real multi-bin BVH
+    build) by lowering the dense threshold."""
+    from gpuspectral_tpu.bvh import build as bvh_build
+
+    old = bvh_build.SLOT_DENSE_THRESHOLD
+    bvh_build.SLOT_DENSE_THRESHOLD = 8
+    try:
+        scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
+    finally:
+        bvh_build.SLOT_DENSE_THRESHOLD = old
+    return scene
+
+
+def test_bvh_grads_match_xla_autodiff():
+    """The fused-BVH replay kernel vs jax.grad through the wavefront on a
+    multi-bin slot-mode build: same estimator, same RNG draws."""
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_bvh_grad_eligible, render_mega_bvh_diff)
+
+    scene = _slot_mode_cornell()
+    cfg = _cfg(use_bvh=True)
+    assert mega_bvh_grad_eligible(scene, cfg)
+    bp, te, le = scene.bsdf_params, scene.tri_emission, scene.light_emission
+
+    # reference: brute-force differentiable wavefront (identical estimator
+    # and RNG; only the intersector differs)
+    cfg_ref = _cfg(use_bvh=False, intersector="woop")
+    g_ref = jax.grad(
+        lambda *p: _loss_xla(scene, cfg_ref, *p), argnums=(0, 1, 2))(
+        bp, te, le)
+
+    def loss_bvh(bp_, te_, le_):
+        sc = scene.replace(bsdf_params=bp_, tri_emission=te_,
+                           light_emission=le_)
+        img = render_mega_bvh_diff(sc, cfg, 0, interpret=True)
+        return jnp.sum(img * jnp.arange(3.0))
+
+    g = jax.grad(loss_bvh, argnums=(0, 1, 2))(bp, te, le)
+    # kd entries that are exactly 0 (the black light-surface BSDF) are the
+    # replay estimator's removable singularity — excluded as in the brute
+    # kernel's test above
+    live = np.asarray(bp)[:, 0:3] > 0
+    got_kd = np.asarray(g[0])[:, 0:3]
+    ref_kd = np.asarray(g_ref[0])[:, 0:3]
+    assert (got_kd[~live] == 0).all()
+    scale = np.abs(ref_kd[live]).max()
+    assert np.abs(got_kd[live] - ref_kd[live]).max() < 2e-3 * scale
+    emissive = np.asarray(scene.tri_light_idx) >= 0
+    for got, ref, tag in [
+        (np.asarray(g[1])[emissive], np.asarray(g_ref[1])[emissive],
+         "tri_emission"),
+        (np.asarray(g[2]), np.asarray(g_ref[2]), "light_emission"),
+    ]:
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got - ref).max() < 2e-3 * scale, (
+            tag, np.abs(got - ref).max(), scale)
+
+
+def test_bvh_grads_mixed_scene_fd():
+    """Mixed-BSDF BVH scene: kd gradients of the diffuse rows only, checked
+    against central finite differences of the SAME fused forward (the
+    counting identity must stay exact when specular bounces interleave)."""
+    from gpuspectral_tpu.bsdf import table as bt
+    from gpuspectral_tpu.bvh import build as bvh_build
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_bvh_grad_eligible, mega_bvh_grad_rows, render_mega_bvh_diff)
+    from gpuspectral_tpu.scene.data import SceneBuilder
+    from gpuspectral_tpu.scene.obj import make_cube, make_rectangle
+
+    old = bvh_build.SLOT_DENSE_THRESHOLD
+    bvh_build.SLOT_DENSE_THRESHOLD = 8
+    try:
+        b = SceneBuilder()
+        rpos, rnrm, ruv = make_rectangle()
+        cpos, cnrm, cuv = make_cube()
+        kd = b.add_bsdf(bt.diffuse((0.6, 0.4, 0.3)))
+        mirror = b.add_bsdf(bt.smooth_conductor(0.0))  # perfect mirror (ior_in=0)
+        floor = np.array([[2, 0, 0, 0], [0, 0, 2, 0], [0, -1, 0, 0],
+                          [0, 0, 0, 1]], np.float32)
+        b.add_object(rpos, rnrm, ruv, floor, kd, twofaced=True)
+        boxxf = np.array([[0.5, 0, 0, -0.5], [0, 0.5, 0, -0.49],
+                          [0, 0, 0.5, 0], [0, 0, 0, 1]], np.float32)
+        b.add_object(cpos, cnrm, cuv, boxxf, mirror)
+        light = b.add_bsdf(bt.diffuse((0.0, 0.0, 0.0)))
+        lxf = np.array([[1, 0, 0, 0], [0, 0, -1, 2.5], [0, 1, 0, 0],
+                        [0, 0, 0, 1]], np.float32)
+        b.add_object(rpos, rnrm, ruv, lxf, light, emission=(8.0, 8.0, 8.0))
+        b.set_camera(np.array([[-1, 0, 0, 0], [0, 1, 0, 0.6], [0, 0, -1, 3],
+                               [0, 0, 0, 1]], np.float32), np.deg2rad(60))
+        scene = b.build()
+    finally:
+        bvh_build.SLOT_DENSE_THRESHOLD = old
+
+    cfg = _cfg(use_bvh=True, max_depth=4)
+    assert mega_bvh_grad_eligible(scene, cfg)
+    rows = mega_bvh_grad_rows(scene)
+    assert kd in rows and light in rows and mirror not in rows
+
+    def loss(bp):
+        sc = scene.replace(bsdf_params=bp)
+        img = render_mega_bvh_diff(sc, cfg, 0, interpret=True)
+        return jnp.sum(img * jnp.arange(3.0))
+
+    bp0 = scene.bsdf_params
+    g = np.asarray(jax.grad(loss)(bp0))
+    eps = 2e-3
+    checked = 0
+    for c in range(3):
+        e = jnp.zeros_like(bp0).at[kd, c].set(1.0)
+        fd = (float(loss(bp0 + eps * e)) - float(loss(bp0 - eps * e))) / (
+            2 * eps)
+        assert abs(g[kd, c] - fd) < 2e-2 * max(abs(fd), 1e-3), (
+            c, g[kd, c], fd)
+        checked += 1
+    assert checked == 3
+
+
+def test_bvh_grads_textured_fd():
+    """Vertex-textured diffuse scene: kd gradients through the fused-BVH
+    replay vs finite differences of the SAME forward.  Texture modulation
+    is multiplicative in kd, so d f/d kd = f/kd keeps the estimator exact
+    (mega_grad.make_diffuse_grad_hook)."""
+    from gpuspectral_tpu.bsdf import table as bt
+    from gpuspectral_tpu.bvh import build as bvh_build
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_bvh_grad_eligible, render_mega_bvh_diff)
+    from gpuspectral_tpu.scene.data import SceneBuilder, TEX_RES
+    from gpuspectral_tpu.scene.obj import make_rectangle
+
+    old = bvh_build.SLOT_DENSE_THRESHOLD
+    bvh_build.SLOT_DENSE_THRESHOLD = 8
+    try:
+        b = SceneBuilder()
+        pos, nrm, uv = make_rectangle()
+        u = (np.arange(TEX_RES, dtype=np.float32) + 0.5) / TEX_RES
+        grad_tex = np.broadcast_to(
+            u[None, :, None], (TEX_RES, TEX_RES, 3)).copy()
+        mat = b.add_bsdf(bt.diffuse((0.7, 0.5, 0.4)), texture=grad_tex)
+        floor = np.array([[2, 0, 0, 0], [0, 0, 2, 0], [0, -1, 0, 0],
+                          [0, 0, 0, 1]], np.float32)
+        b.add_object(pos, nrm, uv, floor, mat, twofaced=True)
+        light = b.add_bsdf(bt.diffuse((0.0, 0.0, 0.0)))
+        lxf = np.array([[1, 0, 0, 0], [0, 0, -1, 3], [0, 1, 0, 0],
+                        [0, 0, 0, 1]], np.float32)
+        b.add_object(pos, nrm, uv, lxf, light, emission=(10.0, 10.0, 10.0))
+        b.set_camera(np.array([[-1, 0, 0, 0], [0, 1, 0, 1.2], [0, 0, -1, 4],
+                               [0, 0, 0, 1]], np.float32), np.deg2rad(60))
+        scene = b.build()
+    finally:
+        bvh_build.SLOT_DENSE_THRESHOLD = old
+
+    assert scene.has_textures
+    cfg = _cfg(use_bvh=True, max_depth=3)
+    assert mega_bvh_grad_eligible(scene, cfg)
+
+    def loss(bp):
+        sc = scene.replace(bsdf_params=bp)
+        img = render_mega_bvh_diff(sc, cfg, 0, interpret=True)
+        return jnp.sum(img * jnp.arange(3.0))
+
+    bp0 = scene.bsdf_params
+    g = np.asarray(jax.grad(loss)(bp0))
+    # large eps: the loss is multilinear in kd (degree <= depth), so the
+    # central difference is near-exact, while a tiny eps drowns in f32
+    # quantization of the loss (measured: eps=2e-3 gives ~25% FD noise,
+    # the white-texture control matches to 3e-4)
+    eps = 0.05
+    for c in range(1, 3):  # channel 0 has zero loss weight
+        e = jnp.zeros_like(bp0).at[0, c].set(1.0)
+        fd = (float(loss(bp0 + eps * e)) - float(loss(bp0 - eps * e))) / (
+            2 * eps)
+        # 5%: bounds the eps^2 curvature + f32 loss quantization (measured
+        # ~3%); a missing/extra texture factor in the hook measures 25-100%
+        assert abs(g[0, c] - fd) < 5e-2 * max(abs(fd), 1e-3), (c, g[0, c], fd)
