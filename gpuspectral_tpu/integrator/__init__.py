@@ -30,6 +30,28 @@ def render_image_stats_auto(scene, cfg, timestamp0: int = 0):
         cfg.intersector == "mega_bvh"
         or (cfg.intersector == "auto" and jax.default_backend() == "tpu")
     ):
+        # Host-side spp batching on real TPU: one persistent-kernel launch
+        # covers the whole frame, and at the declared 64 spp a BVH-scale
+        # frame is an 80+ second single execution — past the TPU runtime's
+        # watchdog (measured: staircase2/living-room@64spp kill the worker,
+        # coffee's 41 s survives).  Chunks are disjoint progressive-frame
+        # ranges, so the summed estimator is identical to one launch.
+        chunk = 0
+        if not interpret and cfg.spp > 8:
+            for c in (8, 4, 2):
+                if cfg.spp % c == 0:
+                    chunk = c
+                    break
+        if chunk:
+            sub = cfg.replace(spp=chunk)
+            total, rays = None, None
+            for i in range(cfg.spp // chunk):
+                img, nr = render_mega_bvh(scene, sub,
+                                          timestamp0 + i * chunk,
+                                          interpret=interpret)
+                total = img if total is None else total + img
+                rays = nr if rays is None else rays + nr
+            return total / (cfg.spp // chunk), rays
         return render_mega_bvh(scene, cfg, timestamp0, interpret=interpret)
     if jax.default_backend() == "tpu":
         # host-side batch loop: bounds single-execution device time (the TPU
