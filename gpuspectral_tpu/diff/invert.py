@@ -150,18 +150,35 @@ def _make_step(scene, cfg, mask, lo, hi, target, opt, optimize_emission):
             sc = scatter_light_emission(sc, unconstrained_to_emission(ov["v"]))
         return sc
 
-    from ..integrator.mega_grad import mega_grad_eligible, render_mega_diff
+    from ..integrator.mega_grad import (
+        mega_bvh_grad_eligible, mega_grad_eligible, render_mega_bvh_diff,
+        render_mega_diff)
 
-    use_mega = mega_grad_eligible(scene, cfg) and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    use_mega = mega_grad_eligible(scene, cfg) and on_tpu
+    # BVH scenes: the fused-BVH replay pair (diffuse-row kd + emission
+    # gradients — exactly what this optimizer tunes)
+    use_mega_bvh = (not use_mega and on_tpu
+                    and mega_bvh_grad_eligible(scene, cfg))
+    if use_mega_bvh:
+        from ..integrator.mega_grad import mega_bvh_grad_rows
+
+        # static row tuple from the CONCRETE scene (inside jit the scene is
+        # traced and the rows could not be derived)
+        bvh_grad_rows = mega_bvh_grad_rows(scene)
 
     @partial(jax.jit, donate_argnames=("opt_vars", "opt_state"))
     def step(opt_vars, opt_state, timestamp0):
         def loss_fn(ov):
             sc = to_physical(ov)
-            if use_mega:
+            if use_mega or use_mega_bvh:
                 # fused forward + path-replay backward kernels (same
                 # per-sample estimator as the scan below)
-                img = render_mega_diff(sc, cfg, timestamp0)
+                if use_mega:
+                    img = render_mega_diff(sc, cfg, timestamp0)
+                else:
+                    img = render_mega_bvh_diff(sc, cfg, timestamp0,
+                                               grad_rows=bvh_grad_rows)
                 img = img.reshape(n_pixels, 3)
                 return jnp.mean((img - target_flat) ** 2)
 
