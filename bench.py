@@ -131,38 +131,38 @@ def main() -> int:
             detail[name] = {"error": str(e)[:300]}
 
     mrays = detail.get("cornell", {}).get("mrays_per_s", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_512_64spp_mrays_per_s",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-                "staircase2_mrays_per_s": round(
-                    detail.get("staircase2", {}).get("mrays_per_s", 0.0), 3
-                ),
-                "coffee_mrays_per_s": round(
-                    detail.get("coffee", {}).get("mrays_per_s", 0.0), 3
-                ),
-                "living_room_mrays_per_s": round(
-                    detail.get("living_room", {}).get("mrays_per_s", 0.0), 3
-                ),
-                "test3_glossy_mrays_per_s": round(
-                    detail.get("test3_glossy", {}).get("mrays_per_s", 0.0), 3
-                ),
-                "grad_steps_per_s_512_64spp_d5": round(
-                    detail.get("grad", {}).get("grad_steps_per_s", 0.0), 4
-                ),
-                "grad_bvh_steps_per_s": round(
-                    detail.get("grad_bvh", {}).get("grad_steps_per_s", 0.0), 4
-                ),
-                "grad_1024_seconds_per_step": round(
-                    detail.get("grad_1024", {}).get("seconds_per_step", 0.0), 2
-                ),
-                "detail": detail,
-            }
-        )
-    )
+    summary = {
+        "metric": "cornell_512_64spp_mrays_per_s",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "staircase2_mrays_per_s": round(
+            detail.get("staircase2", {}).get("mrays_per_s", 0.0), 3
+        ),
+        "coffee_mrays_per_s": round(
+            detail.get("coffee", {}).get("mrays_per_s", 0.0), 3
+        ),
+        "living_room_mrays_per_s": round(
+            detail.get("living_room", {}).get("mrays_per_s", 0.0), 3
+        ),
+        "test3_glossy_mrays_per_s": round(
+            detail.get("test3_glossy", {}).get("mrays_per_s", 0.0), 3
+        ),
+        "grad_steps_per_s_512_64spp_d5": round(
+            detail.get("grad", {}).get("grad_steps_per_s", 0.0), 4
+        ),
+        "grad_bvh_steps_per_s": round(
+            detail.get("grad_bvh", {}).get("grad_steps_per_s", 0.0), 4
+        ),
+        "grad_1024_seconds_per_step": round(
+            detail.get("grad_1024", {}).get("seconds_per_step", 0.0), 2
+        ),
+    }
+    # detail first, compact summary LAST: the driver records only the tail
+    # of stdout, and round 4's headline fell off the front of one giant
+    # line (VERDICT r4 weak #5) — the last line must always parse alone
+    print(json.dumps({"detail": detail}))
+    print(json.dumps(summary))
     return 0
 
 

@@ -249,6 +249,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 mn = jnp.min(m, axis=1, keepdims=True)  # (1,1)
                 bv = jnp.min(jnp.where(m == mn, col, _BIGI), axis=1,
                              keepdims=True)  # (1,1) int32
+                # NaN guard (ADVICE r4): if the candidate row is all-NaN the
+                # equality mask is empty and bv stays _BIGI — clamp to the
+                # benign bin-0 re-sweep instead of a wild table offset
+                bv = jnp.where(bv == _BIGI, 0, bv)
                 bvecs.append(bv)
                 m = jnp.where(col == bv, _BIG, m)
                 vis = jnp.where(col == bv, _BIG, vis)
@@ -722,11 +726,18 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False,
     return bounds, c_pad, woop_t, attr3, light, camv
 
 
+def table_bytes_for(n_bins: int, slots: int, na: int, n_lights: int) -> int:
+    """Fused-kernel VMEM table bytes for a prospective bin layout — shared
+    with the build-time residency estimate (scene/data.py) so bin sizing
+    and the render-time streaming decision can't disagree (ADVICE r4)."""
+    return 4 * (n_bins * slots * (12 + na) + n_bins * 128 * 2
+                + n_lights * 128)
+
+
 def mega_bvh_table_bytes(scene: SceneData) -> int:
-    need = scene.bvh_bins * scene.bvh_bin_slots
     na = _NA_TEX if scene.has_textures else _NA
-    return 4 * (need * (12 + na) + scene.bvh_bins * 128 * 2
-                + scene.num_lights * 128)
+    return table_bytes_for(scene.bvh_bins, scene.bvh_bin_slots, na,
+                           scene.num_lights)
 
 
 def mega_bvh_stream(scene: SceneData) -> bool:

@@ -125,14 +125,18 @@ def render_image_sharded_fast(
         interpret = jax.default_backend() != "tpu"
     use_bvh_kernel = mega_bvh_eligible(scene, cfg)
     use_brute_kernel = not use_bvh_kernel and mega_eligible(scene, cfg)
-    if not (use_bvh_kernel or use_brute_kernel):
+    spp_shards = mesh.shape["spp"]
+    if not (use_bvh_kernel or use_brute_kernel) or cfg.spp % spp_shards:
+        # ineligible scene OR spp not divisible by the spp mesh axis
+        # (ADVICE r4: degrade to the wavefront instead of asserting).
+        # The wavefront does not count rays; return 0.0 (a real float, so
+        # callers doing float(nrays) keep working) — callers that need
+        # honest ray counts use the fused path.
         img = render_image_sharded(scene, cfg, mesh, timestamp0)
-        return img, None
+        return img, jnp.float32(0.0)
 
     n_pixels = cfg.width * cfg.height
     tiles = mesh.shape["tiles"]
-    spp_shards = mesh.shape["spp"]
-    assert cfg.spp % spp_shards == 0, (cfg.spp, spp_shards)
     local_spp = cfg.spp // spp_shards
     cfg_local = cfg.replace(spp=local_spp)
 

@@ -283,13 +283,42 @@ def build_scene(b: SceneBuilder) -> SceneData:
     # moving ~128 KB instead of ~32 KB).  VMEM-resident scenes keep finer
     # bins for tighter per-ray culling.  Constants from the kernel module
     # (lazy import: integrator.mega_bvh imports this module).
-    from ..integrator.mega_bvh import _NA, _NA_TEX, MEGA_BVH_TABLE_BYTES
+    from ..integrator.mega_bvh import (
+        _NA, _NA_TEX, MEGA_BVH_TABLE_BYTES, table_bytes_for)
 
     na = _NA_TEX if b.textures else _NA
+    n_lights_est = max(1, sum(x.shape[0] for x in b.light_pos))
     stream_likely = 4 * num_tris * (12 + na) > MEGA_BVH_TABLE_BYTES
     bin_target = BIN_TARGET_STREAM if stream_likely else BIN_TARGET
 
-    bvh = build_bvh(pos, num_tris, bin_target=bin_target)
+    from ..bvh.binned import MAX_BINS, build_bins
+    from ..integrator.mega_bvh import MEGA_BVH_STREAM_MAX_BINS
+
+    def _bvh_and_bins(streaming: bool):
+        tgt = BIN_TARGET_STREAM if streaming else BIN_TARGET
+        # named caps (not literals — ADVICE r3): resident scenes bound the
+        # bin count by the vote/entry-matrix width budget; streaming scenes
+        # by the streaming kernel's bin-table cap
+        mx = MEGA_BVH_STREAM_MAX_BINS if streaming else MAX_BINS
+        tree = build_bvh(pos, num_tris, bin_target=tgt)
+        bounds, nb, ns = build_bins(
+            tree.node_min, tree.node_max, tree.n_clusters,
+            tree.n_clusters_real, tree.leaf_size, max_bins=mx,
+            slots_per_bin=tgt if num_tris > 0 else 0,
+        )
+        return tree, bounds, nb, ns
+
+    bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(stream_likely)
+    if not stream_likely and num_tris > 0 and table_bytes_for(
+            n_bins, bin_slots, na, n_lights_est) > MEGA_BVH_TABLE_BYTES:
+        # boundary scenes: the raw-triangle estimate said "resident" but the
+        # PADDED slot table (what the render-time mega_bvh_stream decision
+        # actually measures) exceeds the budget — rebuild with the
+        # streaming-fat bin layout so the per-round DMAs run at the size
+        # they were designed for (ADVICE r4)
+        stream_likely = True
+        bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(True)
+
     perm = bvh.perm
     slots = perm.shape[0]
     if slots % PAD_MULTIPLE:
@@ -315,19 +344,6 @@ def build_scene(b: SceneBuilder) -> SceneData:
     dfs_bounds, dfs_meta = build_dfs_tables(
         bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
         bvh.leaf_size,
-    )
-
-    from ..bvh.binned import MAX_BINS, build_bins
-    from ..integrator.mega_bvh import MEGA_BVH_STREAM_MAX_BINS
-
-    # named caps (not literals — ADVICE r3): resident scenes bound the bin
-    # count by the vote/entry-matrix width budget; streaming scenes by the
-    # streaming kernel's bin-table cap
-    max_bins = MEGA_BVH_STREAM_MAX_BINS if stream_likely else MAX_BINS
-    bin_bounds, n_bins, bin_slots = build_bins(
-        bvh.node_min, bvh.node_max, bvh.n_clusters, bvh.n_clusters_real,
-        bvh.leaf_size, max_bins=max_bins,
-        slots_per_bin=bin_target if num_tris > 0 else 0,
     )
 
     if b.light_pos:
