@@ -161,11 +161,29 @@ def _make_step(scene, cfg, mask, lo, hi, target, opt, optimize_emission):
     use_mega_bvh = (not use_mega and on_tpu
                     and mega_bvh_grad_eligible(scene, cfg))
     if use_mega_bvh:
-        from ..integrator.mega_grad import mega_bvh_grad_rows
+        import numpy as np
+
+        from ..integrator.mega_grad import (
+            MAX_GRAD_LIGHTS, mega_bvh_grad_rows)
 
         # static row tuple from the CONCRETE scene (inside jit the scene is
         # traced and the rows could not be derived)
         bvh_grad_rows = mega_bvh_grad_rows(scene)
+        # coverage gate (ADVICE r4, high): the fused replay pair only
+        # produces gradients for bvh_grad_rows' kd columns and — when the
+        # scene's light count fits the kernel accumulator — emitter
+        # radiance.  If the optimizable set is any wider, those entries
+        # would silently receive exact zeros and never train; use the XLA
+        # scan (full autodiff coverage) instead.
+        m = np.asarray(mask) > 0
+        covered = np.zeros(m.shape[0], bool)
+        covered[list(bvh_grad_rows)] = True
+        rows_ok = not m[~covered].any()
+        kd_cols_only = not m[:, 3:].any()
+        em_ok = ((not optimize_emission)
+                 or scene.num_lights <= MAX_GRAD_LIGHTS)
+        if not (rows_ok and kd_cols_only and em_ok):
+            use_mega_bvh = False
 
     @partial(jax.jit, donate_argnames=("opt_vars", "opt_state"))
     def step(opt_vars, opt_state, timestamp0):

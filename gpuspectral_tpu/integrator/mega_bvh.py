@@ -60,12 +60,13 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bvh.ftb import _woop_chunk_at
 from ..ops import rng
 from ..scene.data import SceneData
 from ..utils.config import RenderConfig
@@ -152,20 +153,20 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
-    chunks = slots // LANES
-    # streaming buffers are 8-row-aligned; the gather carries the padded row
-    # count, shading reads only the first n_attr rows
-    n_attr_rows = -(-n_attr // 8) * 8 if stream else n_attr
+    # gather-table rows: [0..n_attr) shading attrs, [n_attr..n_attr+12) the
+    # hit triangle's own Woop rows (so u/v are recomputed exactly at plane
+    # level instead of reduce-summed per sweep), zero-padded to 8 rows
+    n_rows = -(-(n_attr + 12) // 8) * 8
 
     subgroups = _subgroups(stream)
     seg = 128 // subgroups  # rays per traversal tile (sub-sweep rows)
-    # bins swept per subgroup per round: 1 when picks are per-tile (picks
-    # are measured-free and K>1 over-sweeps converged tiles); the
-    # streaming path keeps K=2 so bin k+1's DMA prefetches under bin k's
-    # sweep (double buffering)
+    # bins swept per subgroup per round: the fold (2 lane-reduces + the
+    # one-hot gather) is paid once per ROUND, so sweeping K>1 bins per
+    # round amortizes it; streaming keeps K=2 so bin k+1's DMA prefetches
+    # under bin k's sweep (double buffering)
     k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
 
-    def kernel(pix_ref, bounds_ref, woop_ref, attr_ref, light_ref, cam_ref,
+    def kernel(pix_ref, bounds_ref, gat_ref, light_ref, cam_ref,
                ts_ref, *rest):
         if grad_cfg:
             (g_r_ref, g_g_ref, g_b_ref, kd_ref, grads_ref), scratch = (
@@ -174,12 +175,12 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             (rad_r_ref, rad_g_ref, rad_b_ref, rays_ref), scratch = (
                 rest[:4], rest[4:])
         if stream:
-            # streaming mode: woop_ref (bins, 16, slots) and attr_ref
-            # (bins, n_attr, slots) live in HBM; each traversal round DMAs
-            # the visited bins' rows into these double-buffered VMEM
-            # buffers, prefetching bin k+1 under bin k's sweep
-            (woop_bufs, attr_bufs, woop_sems, attr_sems) = (
-                scratch[0:2], scratch[2:4], scratch[4:6], scratch[6:8])
+            # streaming mode: gat_ref (bins, n_rows, slots) lives in HBM;
+            # each traversal round DMAs the visited bins' rows into these
+            # double-buffered VMEM buffers, prefetching bin k+1 under bin
+            # k's sweep (one merged attr+woop copy per bin — round 4 paid
+            # two DMA round-trips per bin)
+            gat_bufs, gat_sems = scratch[0:2], scratch[2:4]
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (8,128)
 
@@ -232,227 +233,235 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             )
             return jnp.where(tf >= tn, tn, _BIG)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
-        slot_i = jax.lax.broadcasted_iota(jnp.int32, (seg, LANES), 1)
+        # pick-matrix rows: one per subgroup, padded to 8 sublanes (Mosaic
+        # crashes extracting scalars from 4-sublane vectors); pad rows are
+        # all-BIG and pick the benign degenerate bin 0
+        prows = 8 if subgroups > 1 else 1
+        colp = jax.lax.broadcasted_iota(jnp.int32, (prows, c_pad), 1)
         cap = cfg.debug_rounds_cap
+        wb = n_attr  # first Woop row of the gather table
+        # per-(bin k, slot) identity for the round fold: unique, ordered by
+        # (k, slot) so the min-id tie-break reproduces the sequential
+        # "first chunk that improves wins" commit order of the brute kernel
+        ids_k = [jax.lax.broadcasted_iota(jnp.int32, (128, slots), 1)
+                 + k * slots for k in range(k_bins)]
+        _KEYBIG = int(_np.asarray(9e28, _np.float32).view(_np.int32))
 
-        def pick_bins(m, vis):
-            """K nearest candidate bins of one round for one subgroup.  All
-            selection math stays in the vector domain ((1,1)-shaped mins);
-            the K scalar extractions for the sweep offsets happen as one
-            batch at the end, so their vector->scalar latency overlaps the
-            sweeps.  When fewer than K candidates remain, m is all-BIG and
-            the leftover picks degenerate to bin 0 — a no-op re-sweep
-            (nothing improves on an already-committed t)."""
-            bvecs = []
-            for _ in range(k_bins):
-                mn = jnp.min(m, axis=1, keepdims=True)  # (1,1)
-                bv = jnp.min(jnp.where(m == mn, col, _BIGI), axis=1,
-                             keepdims=True)  # (1,1) int32
-                # NaN guard (ADVICE r4): if the candidate row is all-NaN the
-                # equality mask is empty and bv stays _BIGI — clamp to the
-                # benign bin-0 re-sweep instead of a wild table offset
-                bv = jnp.where(bv == _BIGI, 0, bv)
-                bvecs.append(bv)
-                m = jnp.where(col == bv, _BIG, m)
-                vis = jnp.where(col == bv, _BIG, vis)
-            return [b[0, 0] for b in bvecs], m, vis
+        def _i32(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
 
         def _sub(x, j):
             return x[j * seg:(j + 1) * seg, :]
 
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+
+        def _mask_bins(vrow, bs):
+            for b in bs:
+                vrow = jnp.where(col1 == b, _BIG, vrow)
+            return vrow
+
+        def pick_batched(tn, vis, lim):
+            """One round's bin picks for ALL subgroups at once.
+
+            lim (128,1): per-ray candidate limit (bt for closest; a 0/BIG
+            occlusion mask folded into tmax for any-hit).  Selection is a
+            packed-key argmin: bin index in the low 12 bits of the f32
+            entry distance's int image (positive floats order as ints), so
+            each pick is ONE lane-reduce instead of round 4's three —
+            front-to-back order degrades by at most 2^-11 relative, which
+            only affects culling efficiency, never correctness.  Returns
+            (bins [subgroup][k] scalars, vis', key_rest int32 scalar)."""
+            ms = []
+            for j in range(subgroups):
+                act = _sub(tn, j) + vis[j]
+                cand = jnp.where(act < _sub(lim, j), act, _BIG)
+                ms.append(jnp.min(cand, axis=0, keepdims=True))
+            ms += [jnp.full((1, c_pad), _BIG)] * (prows - subgroups)
+            m = jnp.concatenate(ms, axis=0) if prows > 1 else ms[0]
+            bvs = []
+            for _ in range(k_bins):
+                km = (_i32(m) & ~jnp.int32(0xFFF)) | colp
+                kmin = jnp.min(km, axis=1, keepdims=True)  # (prows,1)
+                bv = kmin & jnp.int32(0xFFF)
+                bvs.append(bv)
+                m = jnp.where(colp == bv, _BIG, m)
+            key_rest = jnp.min((_i32(m) & ~jnp.int32(0xFFF)) | colp)
+            # scalar extraction via masked full-reduce (slicing row j of an
+            # (8,1) vector — or single rows of the vis matrix — at non-8-
+            # multiple sublane offsets does not lower in Mosaic)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (prows, 1), 0)
+            bins = [[jnp.min(jnp.where(riota == j, bvs[k], _BIGI))
+                     for k in range(k_bins)] for j in range(subgroups)]
+            # visited-bin updates per tile row, keyed by the extracted
+            # scalars (vis stays a tuple of (1, c_pad) rows)
+            vis = tuple(
+                _mask_bins(vis[j], [bins[j][k] for k in range(k_bins)])
+                for j in range(subgroups))
+            return bins, vis, key_rest
+
+        def sweep_tm(od, gsrc, goff, lo, hi):
+            """Woop-test one bin's `slots` for one subgroup: t masked to
+            (lo, hi) per ray, BIG elsewhere.  gsrc/goff locate the bin's
+            rows inside the gather table (VMEM-resident or DMA buffer)."""
+            ox, oy, oz, dx, dy, dz = od
+            sl = pl.ds(pl.multiple_of(goff, LANES), slots)
+            r = [gsrc[wb + i, sl][None, :] for i in range(12)]
+            ax0, ax1, ax2, ay0, ay1, ay2, az0, az1, az2, bx, by, bz = r
+            opz = ox * az0 + oy * az1 + oz * az2 + bz
+            dpz = dx * az0 + dy * az1 + dz * az2
+            live = jnp.abs(dpz) > 1e-12
+            t = -opz / jnp.where(live, dpz, 1.0)
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            u = px * ax0 + py * ax1 + pz * ax2 + bx
+            v = px * ay0 + py * ay1 + pz * ay2 + by
+            ok = live & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            hit = ok & (t > lo) & (t < hi)
+            return jnp.where(hit, t, _BIG)
+
+        def _stream_rt(b, k):
+            return pltpu.make_async_copy(
+                gat_ref.at[b], gat_bufs[k % 2], gat_sems[k % 2])
+
         def closest_group(oT, dT, tmaxT):
             """Front-to-back traversal of one 128-ray group as `subgroups`
-            independent tiles: each tile picks ITS nearest candidate bin
-            per round and sub-sweeps it at (seg, 128) — rays never sweep a
-            neighbouring tile's bins.  oT/dT/tmaxT in sweep orientation
-            ((128,1) columns); returns bt/bu/bv (128,1) and battr
-            (128, n_attr_rows)."""
+            independent tiles, each picking its own nearest candidate bins
+            per round.  Per round the commit fold costs TWO lane-reduces
+            total (exact t min + id tie-break) plus one one-hot gather
+            matmul per (tile, bin) — round 4 paid ~4 reduces per swept
+            128-slot chunk.  oT/dT/tmaxT in sweep orientation ((128,1)
+            columns); returns bt (128,1) and battr (128, n_rows) whose
+            tail rows are the hit triangle's own Woop rows (u/v are
+            recomputed from them at plane level — exact, same op order as
+            the sweep)."""
             tn = fill_tn(oT, dT, tmaxT)  # (128, c_pad)
-            rows = [tuple(_sub(x, j) for x in oT + dT)
-                    for j in range(subgroups)]
+            od = [tuple(_sub(x, j) for x in oT + dT)
+                  for j in range(subgroups)]
+            z1 = jnp.zeros((seg, 1), jnp.float32)
 
             def cond(st):
-                ok = st[0] < _BIG
-                return ok if not cap else ok & (st[6] < cap)
-
-            def sweep(j, wsrc, woff, asrc, bt, bu, bv, battr):
-                """Test one bin's slots for subgroup j ((seg,128) shapes);
-                wsrc/woff locate its Woop rows, asrc(c) the chunk's
-                attribute rows."""
-                ox, oy, oz, dx, dy, dz = rows[j]
-                for c in range(chunks):
-                    t, u, v, ok = _woop_chunk_at(
-                        wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
-                    hit = ok & (t > 0.0) & (t < bt)
-                    tm = jnp.where(hit, t, _BIG)
-                    t_it = jnp.min(tm, axis=1, keepdims=True)  # (seg,1)
-                    improved = t_it < bt
-                    # first-hit slot mask, tie-broken by slot order
-                    fs = jnp.min(jnp.where(tm == t_it, slot_i, _BIGI),
-                                 axis=1, keepdims=True)
-                    first = (slot_i == fs) & hit  # (seg rays, slots)
-                    u_it = jnp.sum(jnp.where(first, u, 0.0), axis=1,
-                                   keepdims=True)
-                    v_it = jnp.sum(jnp.where(first, v, 0.0), axis=1,
-                                   keepdims=True)
-                    # MXU one-hot gather of the chunk's attribute rows
-                    attr_new = _dotg(first.astype(jnp.float32), asrc(c),
-                                     ((1,), (1,)))  # (seg, n_attr)
-                    bt = jnp.where(improved, t_it, bt)
-                    bu = jnp.where(improved, u_it, bu)
-                    bv = jnp.where(improved, v_it, bv)
-                    battr = jnp.where(improved, attr_new, battr)
-                return bt, bu, bv, battr
+                ok = st[0] < _KEYBIG
+                return ok if not cap else ok & (st[4] < cap)
 
             def body(st):
-                _, vis, bt, bu, bv, battr = st[:6]
-                # pick phase (vector domain, all subgroups)
-                bins, vis2, mins = [], [], []
-                for j in range(subgroups):
-                    act = _sub(tn, j) + vis[j]
-                    cand = jnp.where(act < _sub(bt, j), act, _BIG)
-                    m = jnp.min(cand, axis=0, keepdims=True)
-                    bins_j, m, vis_j = pick_bins(m, vis[j])
-                    bins.append(bins_j)
-                    vis2.append(vis_j)
-                    # stale-bt candidate min for the loop guard: bt only
-                    # tightens during this round, so this keeps at least
-                    # the true candidate set alive (never exits early);
-                    # vis grows monotonically, so it terminates
-                    mins.append(jnp.min(m))
-                # sweep phase
+                _, vis, bt, battr, it = st
+                bins, vis, key_rest = pick_batched(tn, vis, bt)
+                # sweep phase: tm planes per (tile, bin)
+                tms = []
                 if stream:
-                    def start(k):
-                        sl = k % 2
-                        pltpu.make_async_copy(
-                            woop_ref.at[bins[0][k]], woop_bufs[sl],
-                            woop_sems[sl]).start()
-                        pltpu.make_async_copy(
-                            attr_ref.at[bins[0][k]], attr_bufs[sl],
-                            attr_sems[sl]).start()
-
-                    start(0)
+                    _stream_rt(bins[0][0], 0).start()
                     for k in range(k_bins):
-                        sl = k % 2
-                        pltpu.make_async_copy(
-                            woop_ref.at[bins[0][k]], woop_bufs[sl],
-                            woop_sems[sl]).wait()
-                        pltpu.make_async_copy(
-                            attr_ref.at[bins[0][k]], attr_bufs[sl],
-                            attr_sems[sl]).wait()
+                        _stream_rt(bins[0][k], k).wait()
                         if k + 1 < k_bins:
-                            start(k + 1)  # prefetch under this sweep
-                        asrc = (lambda s_: lambda c: attr_bufs[s_][
-                            :, c * LANES:(c + 1) * LANES])(sl)
-                        bt, bu, bv, battr = sweep(
-                            0, woop_bufs[sl], 0, asrc, bt, bu, bv, battr)
+                            _stream_rt(bins[0][k + 1], k + 1).start()
+                        tms.append([sweep_tm(od[0], gat_bufs[k % 2], 0,
+                                             z1, _sub(bt, 0))])
                 else:
-                    parts = []
-                    for j in range(subgroups):
-                        pj = (_sub(bt, j), _sub(bu, j), _sub(bv, j),
-                              _sub(battr, j))
-                        for k in range(k_bins):
-                            asrc = (lambda b: lambda c:
-                                    attr_ref[b * chunks + c])(bins[j][k])
-                            pj = sweep(j, woop_ref, bins[j][k] * slots,
-                                       asrc, *pj)
-                        parts.append(pj)
-                    if subgroups > 1:
-                        bt, bu, bv, battr = (
-                            jnp.concatenate([p[i] for p in parts], axis=0)
-                            for i in range(4))
-                    else:
-                        bt, bu, bv, battr = parts[0]
-                mn = mins[0]
-                for m_ in mins[1:]:
-                    mn = jnp.minimum(mn, m_)
-                return (mn, tuple(vis2), bt, bu, bv, battr, st[6] + 1)
+                    for k in range(k_bins):
+                        tms.append([
+                            sweep_tm(od[j], gat_ref, bins[j][k] * slots,
+                                     z1, _sub(bt, j))
+                            for j in range(subgroups)])
+                # fold: ONE exact t reduce + ONE id reduce for the round
+                cat = (lambda xs: jnp.concatenate(xs, axis=0)
+                       if subgroups > 1 else xs[0])
+                tm_cat = [cat(tms[k]) for k in range(k_bins)]  # (128, slots)
+                tmm = tm_cat[0]
+                for k in range(1, k_bins):
+                    tmm = jnp.minimum(tmm, tm_cat[k])
+                t_it = jnp.min(tmm, axis=1, keepdims=True)  # (128,1) exact
+                fsp = jnp.where(tm_cat[0] == t_it, ids_k[0], _BIGI)
+                for k in range(1, k_bins):
+                    fsp = jnp.minimum(
+                        fsp, jnp.where(tm_cat[k] == t_it,
+                                       ids_k[k], _BIGI))
+                fs = jnp.min(fsp, axis=1, keepdims=True)  # (128,1) id
+                improved = t_it < bt
+                # one-hot gather of the winning slot's attr+woop rows.
+                # The id compare runs at full group height BEFORE tile
+                # slicing: sub-slicing the (128,1) lane-reduce result `fs`
+                # itself does not lower (Mosaic layout pass crash)
+                firsts = [(ids_k[k] == fs).astype(jnp.float32)
+                          for k in range(k_bins)]
+                parts = []
+                for j in range(subgroups):
+                    acc = None
+                    for k in range(k_bins):
+                        first = _sub(firsts[k], j)
+                        if stream:
+                            gs = gat_bufs[k % 2][:, :]
+                        else:
+                            gs = gat_ref[:, pl.ds(pl.multiple_of(
+                                bins[j][k] * slots, LANES), slots)]
+                        g = _dotg(first, gs, ((1,), (1,)))  # (seg, n_rows)
+                        acc = g if acc is None else acc + g
+                    parts.append(acc)
+                battr_new = cat(parts)
+                bt = jnp.where(improved, t_it, bt)
+                battr = jnp.where(improved, battr_new, battr)
+                return (key_rest, vis, bt, battr, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             bt0 = jnp.minimum(tmaxT, _BIG)
-            mn0 = jnp.min(jnp.where(tn < bt0, tn, _BIG))
-            z1 = jnp.zeros((128, 1), jnp.float32)
-            init = (mn0, vis0, bt0, z1, z1,
-                    jnp.zeros((128, n_attr_rows), jnp.float32),
-                    jnp.int32(0))
-            _, _, bt, bu, bv, battr, _ = jax.lax.while_loop(cond, body, init)
-            return bt, bu, bv, battr
+            # initial candidate key so converged/dead groups skip the loop
+            # entirely (the fori over groups still runs their closest)
+            k0 = jnp.min(jnp.where(tn < bt0, _i32(tn), jnp.int32(2**31 - 1)))
+            init = (k0, vis0, bt0,
+                    jnp.zeros((128, n_rows), jnp.float32), jnp.int32(0))
+            _, _, bt, battr, _ = jax.lax.while_loop(cond, body, init)
+            return bt, battr
 
         def any_group(oT, dT, tminT, tmaxT):
-            """Occlusion traversal of one 128-ray group (same subgroup
-            structure as closest_group); returns occ (128,1) f32 (0 free /
-            BIG occluded)."""
+            """Occlusion traversal of one 128-ray group (same pick
+            structure as closest_group, no commit fold at all — occlusion
+            accumulates elementwise and reduces ONCE per round); returns
+            occ (128,1) f32 (0 free / BIG occluded)."""
             tn = fill_tn(oT, dT, tmaxT)
-            rows = [tuple(_sub(x, j) for x in oT + dT)
-                    for j in range(subgroups)]
-            tmins = [_sub(tminT, j) for j in range(subgroups)]
-            tmaxs = [_sub(tmaxT, j) for j in range(subgroups)]
+            od = [tuple(_sub(x, j) for x in oT + dT)
+                  for j in range(subgroups)]
 
             def cond(st):
-                ok = st[0] < _BIG
+                ok = st[0] < _KEYBIG
                 return ok if not cap else ok & (st[3] < cap)
 
-            def sweep(j, wsrc, woff, occ):
-                ox, oy, oz, dx, dy, dz = rows[j]
-                hit_any = jnp.zeros((seg, 1), jnp.float32)
-                for c in range(chunks):
-                    t, _u, _v, ok = _woop_chunk_at(
-                        wsrc, woff + c * LANES, ox, oy, oz, dx, dy, dz)
-                    h = ok & (t > tmins[j]) & (t < tmaxs[j])
-                    hit_any = jnp.maximum(
-                        hit_any,
-                        jnp.max(h.astype(jnp.float32), axis=1, keepdims=True))
-                return jnp.maximum(occ, hit_any * _BIG)
-
             def body(st):
-                _, vis, occ = st[:3]
-                bins, vis2, mins = [], [], []
-                for j in range(subgroups):
-                    act = _sub(tn, j) + vis[j] + _sub(occ, j)
-                    cand = jnp.where(act < _BIG, act, _BIG)
-                    m = jnp.min(cand, axis=0, keepdims=True)
-                    bins_j, m, vis_j = pick_bins(m, vis[j])
-                    bins.append(bins_j)
-                    vis2.append(vis_j)
-                    mins.append(jnp.min(m))
+                _, vis, occ, it = st
+                bins, vis, key_rest = pick_batched(
+                    tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
+                hs = []
                 if stream:
-                    def start(k):
-                        sl = k % 2
-                        pltpu.make_async_copy(
-                            woop_ref.at[bins[0][k]], woop_bufs[sl],
-                            woop_sems[sl]).start()
-
-                    start(0)
+                    _stream_rt(bins[0][0], 0).start()
                     for k in range(k_bins):
-                        sl = k % 2
-                        pltpu.make_async_copy(
-                            woop_ref.at[bins[0][k]], woop_bufs[sl],
-                            woop_sems[sl]).wait()
+                        _stream_rt(bins[0][k], k).wait()
                         if k + 1 < k_bins:
-                            start(k + 1)
-                        occ = sweep(0, woop_bufs[sl], 0, occ)
+                            _stream_rt(bins[0][k + 1], k + 1).start()
+                        hs.append([sweep_tm(od[0], gat_bufs[k % 2], 0,
+                                            _sub(tminT, 0), _sub(tmaxT, 0))])
                 else:
-                    parts = []
-                    for j in range(subgroups):
-                        oj = _sub(occ, j)
-                        for k in range(k_bins):
-                            oj = sweep(j, woop_ref, bins[j][k] * slots, oj)
-                        parts.append(oj)
-                    occ = (jnp.concatenate(parts, axis=0)
-                           if subgroups > 1 else parts[0])
-                mn = mins[0]
-                for m_ in mins[1:]:
-                    mn = jnp.minimum(mn, m_)
-                return (mn, tuple(vis2), occ, st[3] + 1)
+                    for k in range(k_bins):
+                        hs.append([
+                            sweep_tm(od[j], gat_ref, bins[j][k] * slots,
+                                     _sub(tminT, j), _sub(tmaxT, j))
+                            for j in range(subgroups)])
+                cat = (lambda xs: jnp.concatenate(xs, axis=0)
+                       if subgroups > 1 else xs[0])
+                hp = cat(hs[0])
+                for k in range(1, k_bins):
+                    hp = jnp.minimum(hp, cat(hs[k]))
+                # ONE reduce: any slot with masked t < BIG occludes
+                hit_any = jnp.min(hp, axis=1, keepdims=True) < _BIG
+                occ = jnp.maximum(occ, hit_any.astype(jnp.float32) * _BIG)
+                return (key_rest, vis, occ, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             occ0 = jnp.zeros((128, 1), jnp.float32)
-            mn0 = jnp.min(jnp.where(tn < _BIG, tn, _BIG))
+            k0 = jnp.min(jnp.where(tn < _BIG, _i32(tn),
+                                   jnp.int32(2**31 - 1)))
             _, _, occ, _ = jax.lax.while_loop(
-                cond, body, (mn0, vis0, occ0, jnp.int32(0)))
+                cond, body, (k0, vis0, occ0, jnp.int32(0)))
             return occ
 
         # group-column gather/scatter on (128, ROWS) values: Mosaic has no
@@ -469,39 +478,50 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             return jnp.where(gcol == g, col_v, M)
 
         giota3 = jax.lax.broadcasted_iota(
-            jnp.int32, (ROWS, n_attr_rows, LANES), 0)
+            jnp.int32, (ROWS, n_rows, LANES), 0)
 
         def closest(o, d, alive):
             """All-group closest hit.  o/d/alive are (ROWS, LANES) shading
             planes; returns lane-oriented planes + n_attr attr planes.  The
             (ROWS,LANES)<->(128,ROWS) relayouts happen once per bounce for
-            the whole block."""
+            the whole block.  u/v are recomputed at plane level from the
+            gathered Woop rows (exact — the same expressions, in the same
+            order, the sweep evaluated; the sweep no longer reduce-sums
+            them per chunk)."""
             oT = tuple(_t(x) for x in o)  # (128, ROWS) each
             dT = tuple(_t(x) for x in d)
             tmaxT = _t(jnp.where(alive, _BIG, -_BIG))
 
             def gbody(g, carry):
-                tC, uC, vC, aC = carry
-                bt, bu, bv, battr = closest_group(
+                tC, aC = carry
+                bt, battr = closest_group(
                     tuple(_colg(x, g) for x in oT),
                     tuple(_colg(x, g) for x in dT),
                     _colg(tmaxT, g))
-                battrT = jnp.transpose(battr)[None]  # (1, n_attr_rows, 128)
+                battrT = jnp.transpose(battr)[None]  # (1, n_rows, 128)
                 aC = jnp.where(giota3 == g, battrT, aC)
-                return (_putg(tC, bt, g), _putg(uC, bu, g),
-                        _putg(vC, bv, g), aC)
+                return (_putg(tC, bt, g), aC)
 
             zc = jnp.zeros((128, ROWS), jnp.float32)
-            aC0 = jnp.zeros((ROWS, n_attr_rows, LANES), jnp.float32)
-            tC, uC, vC, aC = jax.lax.fori_loop(
-                0, ROWS, gbody, (zc + _BIG, zc, zc, aC0))
+            aC0 = jnp.zeros((ROWS, n_rows, LANES), jnp.float32)
+            tC, aC = jax.lax.fori_loop(0, ROWS, gbody, (zc + _BIG, aC0))
 
             tL = _t(tC)  # (ROWS, LANES)
             tmax_l = jnp.where(alive, _BIG, -_BIG)
             hit = tL < jnp.minimum(tmax_l, _BIG)
-            battrA = jnp.transpose(aC, (1, 0, 2))  # (n_attr_rows, ROWS, 128)
+            battrA = jnp.transpose(aC, (1, 0, 2))  # (n_rows, ROWS, 128)
             attrs = tuple(battrA[i] for i in range(n_attr))
-            return (jnp.where(hit, tL, _BIG), hit, _t(uC), _t(vC), attrs)
+            w = tuple(battrA[n_attr + i] for i in range(11))  # woop rows
+            ts = jnp.where(hit, tL, 0.0)
+            px = o[0] + ts * d[0]
+            py = o[1] + ts * d[1]
+            pz = o[2] + ts * d[2]
+            bu = px * w[0] + py * w[1] + pz * w[2] + w[9]
+            bv = px * w[3] + py * w[4] + pz * w[5] + w[10]
+            zf_ = jnp.zeros_like(tL)
+            bu = jnp.where(hit, bu, zf_)
+            bv = jnp.where(hit, bv, zf_)
+            return (jnp.where(hit, tL, _BIG), hit, bu, bv, attrs)
 
         def any_hit(o, d, t_min, t_max, active):
             oT = tuple(_t(x) for x in o)
@@ -642,11 +662,12 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False,
                      grad: bool = False):
     """Device tables for the fused kernel (all jit-traceable).
 
-    Returns (bounds (6, c_pad), woop_t (12, S), attr3 (S/128, _NA, 128),
-    light (L8, 16), cam (1,13)).  With stream=True the woop/attr tables are
-    instead laid out per-bin for HBM-resident DMA streaming: woop
-    (bins, 16, slots), attr (bins, n_attr, slots) — one contiguous block
-    per bin, copied into VMEM scratch at each traversal round."""
+    Returns (bounds (6, c_pad), gat, light (L8, 16), cam (1,13)).  `gat` is
+    the merged gather table: rows [0..n_attr) shading attrs, rows
+    [n_attr..n_attr+12) the triangles' Woop rows, zero-padded to a multiple
+    of 8 rows — resident layout (n_rows, bins*slots); with stream=True laid
+    out per-bin (bins, n_rows, slots) for one merged HBM->VMEM DMA per
+    visited bin per traversal round."""
     n_bins, slots = scene.bvh_bins, scene.bvh_bin_slots
     need = n_bins * slots
     # bin bounds, lane-padded with ftb's far-point pattern
@@ -686,19 +707,18 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False,
     t = attr.shape[1]
     if t < need:
         attr = jnp.pad(attr, ((0, 0), (0, need - t)))
+    # merged gather table: attr rows + the 12 Woop rows (the sweep reads
+    # rows n_attr..n_attr+11; the commit gathers ALL rows in one one-hot
+    # matmul), zero-padded to 8-row alignment (Mosaic DMA/load shapes)
+    n_rows = -(-(n_attr + 12) // 8) * 8
+    gat = jnp.concatenate([attr[:, :need], woop_t[:, :need]], axis=0)
+    gat = jnp.pad(gat, ((0, n_rows - n_attr - 12), (0, 0)))
     if stream:
-        # the slot table may be larger than bins*slots (padded independently
-        # for other kernels); bins only ever address the first bins*slots.
-        # Mosaic DMAs need the sublane (row) dim 8-aligned: pad 12 -> 16
-        # woop rows and attr rows up to a multiple of 8 (zeros, never read).
-        woop_t = jnp.pad(woop_t[:, :need], ((0, 4), (0, 0)))
-        woop_t = woop_t.reshape(16, n_bins, slots).transpose(1, 0, 2)
-        na_pad = -(-n_attr // 8) * 8
-        attr_s = jnp.pad(attr[:, :need], ((0, na_pad - n_attr), (0, 0)))
-        attr3 = attr_s.reshape(na_pad, n_bins, slots).transpose(1, 0, 2)
-    else:
-        attr3 = (attr[:, :need].T.reshape(need // 128, 128, n_attr)
-                 .transpose(0, 2, 1))
+        # per-bin blocks: one contiguous (n_rows, slots) DMA per visit.
+        # The slot table may be larger than bins*slots (padded
+        # independently for other kernels); bins only address the first
+        # bins*slots.
+        gat = gat.reshape(n_rows, n_bins, slots).transpose(1, 0, 2)
 
     # light table (L8, 16): 0-8 verts, 9-11 emission, 12 select pdf,
     # 13 cdf_hi (last real row 2.0), 14 cdf_lo (first row -1.0)
@@ -723,14 +743,16 @@ def _pack_tables_bvh(scene: SceneData, light_mode: str, stream: bool = False,
         pad = jnp.zeros((L8 - L, 16), jnp.float32)
         pad = pad.at[:, 13:15].set(_BIG)  # cdf rows that never select
         light = jnp.concatenate([light, pad], axis=0)
-    return bounds, c_pad, woop_t, attr3, light, camv
+    return bounds, c_pad, gat, light, camv
 
 
 def table_bytes_for(n_bins: int, slots: int, na: int, n_lights: int) -> int:
     """Fused-kernel VMEM table bytes for a prospective bin layout — shared
     with the build-time residency estimate (scene/data.py) so bin sizing
-    and the render-time streaming decision can't disagree (ADVICE r4)."""
-    return 4 * (n_bins * slots * (12 + na) + n_bins * 128 * 2
+    and the render-time streaming decision can't disagree (ADVICE r4).
+    Row count matches the merged 8-row-padded gather table exactly."""
+    n_rows = -(-(na + 12) // 8) * 8
+    return 4 * (n_bins * slots * n_rows + n_bins * 128 * 2
                 + n_lights * 128)
 
 
@@ -748,17 +770,17 @@ def mega_bvh_stream(scene: SceneData) -> bool:
 
 
 # streaming-mode caps: one bin's double-buffered, 8-row-padded VMEM scratch
-# (the ACTUAL allocation: 2 buffers x (16 woop + ceil(na/8)*8 attr rows) x
-# slots x 4 B) must fit the scratch budget, and the (group_r, c_pad) entry
-# matrix must stay small
+# (the ACTUAL allocation: 2 buffers x pad8(na + 12 woop rows) x slots x 4 B)
+# must fit the scratch budget, and the (group_r, c_pad) entry matrix must
+# stay small
 MEGA_BVH_STREAM_BIN_BYTES = 2 * 1024 * 1024
 MEGA_BVH_STREAM_MAX_BINS = 4096
 
 
 def _stream_bin_scratch_bytes(scene: SceneData) -> int:
     na = _NA_TEX if scene.has_textures else _NA
-    na_pad = -(-na // 8) * 8
-    return 2 * (16 + na_pad) * scene.bvh_bin_slots * 4
+    n_rows = -(-(na + 12) // 8) * 8
+    return 2 * n_rows * scene.bvh_bin_slots * 4
 
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -841,13 +863,14 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     cfg.spp samples + per-lane ray counts, each (n_blocks, ROWS, LANES)."""
     light_mode = cfg.light_sampling
     stream = mega_bvh_stream(scene)
-    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
+    bounds, c_pad, gat, light, camv = _pack_tables_bvh(
         scene, light_mode, stream=stream)
     n_blocks = pix.shape[0]
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     n_attr = _NA_TEX if scene.has_textures else _NA  # logical row count
-    assert attr3.shape[1] == (-(-n_attr // 8) * 8 if stream else n_attr)
+    n_rows = -(-(n_attr + 12) // 8) * 8
+    assert gat.shape[1 if stream else 0] == n_rows
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
                           scene.num_lights, scene.kinds_present, light_mode,
                           n_attr=n_attr, stream=stream)
@@ -863,12 +886,8 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     scratch = []
     if stream:
         scratch = [
-            pltpu.VMEM((16, slots), jnp.float32),
-            pltpu.VMEM((16, slots), jnp.float32),
-            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
-            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_rows, slots), jnp.float32),
+            pltpu.VMEM((n_rows, slots), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
@@ -876,8 +895,7 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
         kernel,
         grid=(n_blocks,),
         in_specs=[blk, full(bounds),
-                  hbm if stream else full(woop_t),
-                  hbm if stream else full(attr3),
+                  hbm if stream else full(gat),
                   full(light), smem, smem],
         out_specs=[blk, blk, blk, blk],
         out_shape=[out_shape, out_shape, out_shape,
@@ -887,7 +905,7 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pix, bounds, woop_t, attr3, light, camv, ts)
+    )(pix, bounds, gat, light, camv, ts)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))

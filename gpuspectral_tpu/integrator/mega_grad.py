@@ -485,11 +485,12 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
 
     light_mode = cfg.light_sampling
     stream = mega_bvh_stream(scene)
-    bounds, c_pad, woop_t, attr3, light, camv = _pack_tables_bvh(
+    bounds, c_pad, gat, light, camv = _pack_tables_bvh(
         scene, light_mode, stream=stream, grad=True)
     # + 1: the appended bsdf-row scatter key (last attr row)
     n_attr = (NA_TEX_BVH if scene.has_textures else NA_BVH) + 1
-    assert attr3.shape[1] == (-(-n_attr // 8) * 8 if stream else n_attr)
+    n_rows = -(-(n_attr + 12) // 8) * 8
+    assert gat.shape[1 if stream else 0] == n_rows
     R = len(grad_rows)
     L = scene.num_lights
     kd = scene.bsdf_params[jnp.asarray(grad_rows), 0:3]
@@ -521,12 +522,8 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
     scratch = []
     if stream:
         scratch = [
-            pltpu.VMEM((16, slots), jnp.float32),
-            pltpu.VMEM((16, slots), jnp.float32),
-            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
-            pltpu.VMEM((attr3.shape[1], slots), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_rows, slots), jnp.float32),
+            pltpu.VMEM((n_rows, slots), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
@@ -534,8 +531,7 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
         kernel,
         grid=(n_blocks,),
         in_specs=[blk, full(bounds),
-                  hbm if stream else full(woop_t),
-                  hbm if stream else full(attr3),
+                  hbm if stream else full(gat),
                   full(light), smem, smem, blk, blk, blk, smem],
         out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -544,7 +540,7 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pix, bounds, woop_t, attr3, light, camv, ts,
+    )(pix, bounds, gat, light, camv, ts,
       gp[..., 0], gp[..., 1], gp[..., 2], kd)
 
     tot = jnp.sum(grads.reshape(n_blocks, 128), axis=0)  # (128,)

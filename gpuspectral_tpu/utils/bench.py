@@ -22,21 +22,24 @@ def run_benchmark(args) -> dict:
 
     import jax.numpy as jnp
 
-    # NB: host transfer (np.asarray) is the sync point — block_until_ready
-    # does not reliably block through the axon TPU tunnel.  timestamp0 is
-    # passed as a device array so each iteration reuses the same executable.
+    # NB: a host transfer is the sync point — block_until_ready does not
+    # reliably block through the axon TPU tunnel.  The TIMED transfer is a
+    # device-side scalar reduce of the image: transferring the full image
+    # costs ~28 ms RTT + ~100 ms/MB through the tunnel (measured round 5)
+    # and was inflating every small/fast frame's wall time.  timestamp0 is
+    # passed as a device array so each iteration reuses one executable.
     t0 = time.time()
     img, nrays = render_image_stats(scene, cfg, jnp.uint32(0))
     np.asarray(img)
     compile_s = time.time() - t0
     for i in range(max(0, warmup - 1)):
-        np.asarray(render_image_stats(scene, cfg, jnp.uint32(i + 1))[0])
+        float(jnp.sum(render_image_stats(scene, cfg, jnp.uint32(i + 1))[0]))
 
     times = []
     for i in range(iters):
         t0 = time.time()
         img, nrays = render_image_stats(scene, cfg, jnp.uint32(100 + i))
-        np.asarray(img)
+        float(jnp.sum(img))
         times.append(time.time() - t0)
     nrays = float(np.asarray(nrays))
 
