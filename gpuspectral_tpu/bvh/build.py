@@ -44,7 +44,10 @@ LEAF_SIZE = 16  # slots per leaf (sah mode: real leaves of <= this, padded)
 # 512-slot bins quarter the round count (and quadruple streaming DMA size)
 # for ~20% more swept slots — the right trade when each round pays an HBM
 # round-trip.
-BIN_TARGET = 256  # VMEM-resident scenes
+BIN_TARGET = 128  # VMEM-resident scenes (round-5 A/B on staircase2:
+# 128-slot bins at 8 bins/round beat 256-slot/2 and 512-slot/1 — finer
+# front-to-back culling cuts swept slots faster than the per-round pick
+# overhead grows; tools/bench_kernel_true.py: 74.8 -> 66.1 ms/frame)
 BIN_TARGET_STREAM = 512  # HBM-streaming scenes (table too big for VMEM)
 
 # Below this many triangles the sah build keeps the triangle arrays dense

@@ -90,9 +90,11 @@ ROWS = 8  # sublane rows of shading state (one f32 vreg per state plane)
 BLOCK_R = ROWS * LANES  # rays per pallas block
 # triangle slots swept per front-to-back round (per group): bins swept
 # per round = max(1, ROUND_SLOTS // bin_slots).  Amortizes the fixed
-# per-round cost (candidate scan + picks + while_loop control + streaming
-# DMA latency) without over-sweeping when few candidates remain.
-ROUND_SLOTS = 512
+# per-round cost (candidate scan + picks + fold reduces + while_loop
+# control + streaming DMA latency); measured round 5 (slope-timed,
+# tools/bench_kernel_true.py): 1024 slots/round over 128-slot bins is the
+# staircase2 optimum (66.1 ms vs 74.8 at 512/256 and 99.6 at 256/256).
+ROUND_SLOTS = 1024
 
 
 def _subgroups(stream: bool) -> int:

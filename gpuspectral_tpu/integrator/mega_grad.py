@@ -347,10 +347,14 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
-                   interpret: bool = False):
-    """Run the replay kernel; returns (d_bsdf_params, d_tri_emission,
-    d_light_emission) summed over all blocks."""
+def _mega_backward_blocks(scene: SceneData, cfg: RenderConfig, timestamp0,
+                          pix, gp, interpret: bool = False):
+    """Replay kernel over explicit pixel rows.  pix (rows, LANES) int32;
+    gp (rows, LANES, 3) cotangents of the PER-LANE radiance sums over
+    cfg.spp (callers scale/mask: /spp for mean images, zero for pad
+    lanes).  Returns (d_bsdf_params, d_tri_emission, d_light_emission)
+    summed over the given rows only — the sharded gradient step
+    (parallel/dist.grad_step_sharded_fast) psums these across shards."""
     woop_t, attr, light, camv = _pack_tables(scene)
     # appended row: bsdf table index per triangle (the grad scatter key)
     attr = jnp.concatenate(
@@ -358,18 +362,7 @@ def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
     B = scene.bsdf_kind.shape[0]
     L = scene.num_lights
     kd = scene.bsdf_params[:, 0:3]
-
-    n_pixels = cfg.width * cfg.height
-    n_blocks = -(-n_pixels // BLOCK)
-    padded = n_blocks * BLOCK
-    pix = jnp.arange(padded, dtype=jnp.int32)
-    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES)
-    # cotangent planes; img = rad/spp, so d rad = g/spp.  Padding lanes
-    # re-render pixel 0 — zero their cotangent so they contribute nothing.
-    gflat = jnp.concatenate(
-        [g.reshape(n_pixels, 3) / cfg.spp,
-         jnp.zeros((padded - n_pixels, 3), jnp.float32)])
-    gp = gflat.reshape(n_blocks * SUB, LANES, 3)
+    n_blocks = pix.shape[0] // SUB
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     kernel = _make_grad_kernel(cfg, scene.num_tris, L, B)
@@ -398,6 +391,25 @@ def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
     d_te = d_te_l[jnp.maximum(scene.tri_light_idx, 0)]
     d_te = jnp.where((scene.tri_light_idx >= 0)[:, None], d_te, 0.0)
     return d_bp, d_te, d_le
+
+
+def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
+                   interpret: bool = False):
+    """Full-image replay backward: builds the block layout + mean-image
+    cotangent scaling and runs _mega_backward_blocks."""
+    n_pixels = cfg.width * cfg.height
+    n_blocks = -(-n_pixels // BLOCK)
+    padded = n_blocks * BLOCK
+    pix = jnp.arange(padded, dtype=jnp.int32)
+    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES)
+    # cotangent planes; img = rad/spp, so d rad = g/spp.  Padding lanes
+    # re-render pixel 0 — zero their cotangent so they contribute nothing.
+    gflat = jnp.concatenate(
+        [g.reshape(n_pixels, 3) / cfg.spp,
+         jnp.zeros((padded - n_pixels, 3), jnp.float32)])
+    gp = gflat.reshape(n_blocks * SUB, LANES, 3)
+    return _mega_backward_blocks(scene, cfg, timestamp0, pix, gp,
+                                 interpret=interpret)
 
 
 def _zero_cotangent(tree):
@@ -473,14 +485,17 @@ def mega_bvh_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
 
 @partial(jax.jit, static_argnames=("cfg", "grad_rows", "n_grad_lights",
                                    "interpret"))
-def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
-                       grad_rows: tuple, n_grad_lights: int,
-                       interpret: bool = False):
-    """Run the fused-BVH replay kernel; returns (d_bsdf_params,
-    d_tri_emission, d_light_emission) summed over all blocks."""
+def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
+                              timestamp0, pix, gp, grad_rows: tuple,
+                              n_grad_lights: int, interpret: bool = False):
+    """Fused-BVH replay kernel over explicit pixel blocks.  pix
+    (n_blocks, ROWS, LANES) int32; gp (n_blocks, ROWS, LANES, 3)
+    cotangents of the PER-LANE radiance sums over cfg.spp (callers scale
+    for mean images and zero pad lanes).  Returns (d_bsdf_params,
+    d_tri_emission, d_light_emission) summed over the given blocks."""
     from .mega_bvh import (
         _NA as NA_BVH, _NA_TEX as NA_TEX_BVH, LANES as B_LANES, ROWS,
-        _make_kernel as _make_bvh_kernel, _pack_tables_bvh, _pix_blocks,
+        _make_kernel as _make_bvh_kernel, _pack_tables_bvh,
         mega_bvh_stream)
 
     light_mode = cfg.light_sampling
@@ -494,17 +509,7 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
     R = len(grad_rows)
     L = scene.num_lights
     kd = scene.bsdf_params[jnp.asarray(grad_rows), 0:3]
-
-    n_pixels = cfg.width * cfg.height
-    pix_np, valid = _pix_blocks(cfg, stream)
-    pix = jnp.asarray(pix_np)
     n_blocks = pix.shape[0]
-    # cotangent planes in block layout; img = rad/spp so d rad = g/spp.
-    # Invalid (pad) lanes re-render real pixels — zero their cotangent.
-    gflat = g.reshape(n_pixels, 3) / cfg.spp
-    gp = gflat[pix.reshape(-1)] * jnp.asarray(
-        valid.reshape(-1, 1), jnp.float32)
-    gp = gp.reshape(n_blocks, ROWS, B_LANES, 3)
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
 
     kernel = _make_bvh_kernel(
@@ -563,6 +568,29 @@ def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
     return d_bp, d_te, d_le
 
 
+def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
+                       grad_rows: tuple, n_grad_lights: int,
+                       interpret: bool = False):
+    """Full-image fused-BVH replay backward: builds the block layout +
+    mean-image cotangent scaling and runs _mega_bvh_backward_blocks."""
+    from .mega_bvh import (
+        LANES as B_LANES, ROWS, _pix_blocks, mega_bvh_stream)
+
+    n_pixels = cfg.width * cfg.height
+    pix_np, valid = _pix_blocks(cfg, mega_bvh_stream(scene))
+    pix = jnp.asarray(pix_np)
+    n_blocks = pix.shape[0]
+    # cotangent planes in block layout; img = rad/spp so d rad = g/spp.
+    # Invalid (pad) lanes re-render real pixels — zero their cotangent.
+    gflat = g.reshape(n_pixels, 3) / cfg.spp
+    gp = gflat[pix.reshape(-1)] * jnp.asarray(
+        valid.reshape(-1, 1), jnp.float32)
+    gp = gp.reshape(n_blocks, ROWS, B_LANES, 3)
+    return _mega_bvh_backward_blocks(scene, cfg, timestamp0, pix, gp,
+                                     grad_rows, n_grad_lights,
+                                     interpret=interpret)
+
+
 @lru_cache(maxsize=None)
 def _diff_fn_bvh(cfg: RenderConfig, grad_rows: tuple, n_grad_lights: int,
                  interpret: bool):
@@ -601,7 +629,97 @@ def render_mega_bvh_diff(scene: SceneData, cfg: RenderConfig, timestamp0=0,
         grad_rows = mega_bvh_grad_rows(scene)
     n_grad_lights = (scene.num_lights
                      if scene.num_lights <= MAX_GRAD_LIGHTS else 0)
-    f = _diff_fn_bvh(cfg, tuple(grad_rows), n_grad_lights, interpret)
+    sg = jax.lax.stop_gradient
+    # host-side spp chunking (ADVICE r4 medium): a single 64-spp BVH-scale
+    # launch exceeds the TPU watchdog in BOTH the forward and the
+    # spp*(depth+1)-iteration backward; disjoint progressive-frame chunks
+    # keep each launch bounded and the summed estimator (and its replay
+    # gradient) identical.
+    chunk = 0
+    if not interpret and cfg.spp > 8 and jax.default_backend() == "tpu":
+        for c in (8, 4, 2):
+            if cfg.spp % c == 0:
+                chunk = c
+                break
+    sub = cfg.replace(spp=chunk) if chunk else cfg
+    f = _diff_fn_bvh(sub, tuple(grad_rows), n_grad_lights, interpret)
+    args = (scene.bsdf_params, scene.tri_emission, scene.light_emission,
+            sg(scene))
+    if not chunk:
+        return f(*args, jnp.asarray(timestamp0, jnp.uint32))
+    total = None
+    for i in range(cfg.spp // chunk):
+        img = f(*args, jnp.asarray(timestamp0, jnp.uint32)
+                + jnp.uint32(i * chunk))
+        total = img if total is None else total + img
+    return total * (chunk / cfg.spp)
+
+
+# ---------------------------------------------------------------------------
+# Block-level differentiable renders for the SHARDED gradient step
+# (parallel/dist.grad_step_sharded_fast): each mesh shard runs the fused
+# forward over its pixel blocks and the replay backward over the same
+# blocks; parameter gradients are psum'd outside.  Outputs/cotangents are
+# PER-LANE radiance sums over cfg.spp (no /spp, no scatter) so the shard
+# math stays local.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _diff_fn_blocks(cfg: RenderConfig, bvh: bool, grad_rows: tuple,
+                    n_grad_lights: int, interpret: bool):
+    if bvh:
+        from .mega_bvh import render_mega_bvh_blocks
+
+    @jax.custom_vjp
+    def f(bp, te, le, scene_rest, pix, ts):
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        if bvh:
+            rr, rg, rb, _ = render_mega_bvh_blocks(sc, cfg, pix, ts,
+                                                   interpret=interpret)
+        else:
+            from .mega import render_mega_rows
+
+            shp = pix.shape
+            rr, rg, rb, _ = render_mega_rows(
+                sc, cfg, pix.reshape(-1, LANES), ts, interpret=interpret)
+            rr, rg, rb = (x.reshape(shp) for x in (rr, rg, rb))
+        return jnp.stack([rr, rg, rb], axis=-1)
+
+    def fwd(bp, te, le, scene_rest, pix, ts):
+        return f(bp, te, le, scene_rest, pix, ts), (bp, te, le, scene_rest,
+                                                    pix, ts)
+
+    def bwd(res, g):
+        bp, te, le, scene_rest, pix, ts = res
+        sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
+                                light_emission=le)
+        if bvh:
+            d_bp, d_te, d_le = _mega_bvh_backward_blocks(
+                sc, cfg, ts, pix, g, grad_rows, n_grad_lights,
+                interpret=interpret)
+        else:
+            d_bp, d_te, d_le = _mega_backward_blocks(
+                sc, cfg, ts, pix.reshape(-1, LANES),
+                g.reshape(-1, LANES, 3), interpret=interpret)
+        return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
+                np.zeros(jnp.shape(pix), jax.dtypes.float0),
+                np.zeros(jnp.shape(ts), jax.dtypes.float0))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_blocks_diff(scene: SceneData, cfg: RenderConfig, pix, timestamp0,
+                       bvh: bool, grad_rows: tuple = (),
+                       n_grad_lights: int = 0, interpret: bool = False):
+    """Differentiable per-lane radiance sums over cfg.spp for explicit
+    pixel blocks (pix int32: (n, ROWS, LANES) for the BVH kernel,
+    (n, SUB, LANES) for the brute one).  The vjp runs the matching replay
+    backward over the same blocks only."""
+    f = _diff_fn_blocks(cfg, bvh, tuple(grad_rows), n_grad_lights,
+                        interpret)
     sg = jax.lax.stop_gradient
     return f(scene.bsdf_params, scene.tri_emission, scene.light_emission,
-             sg(scene), jnp.asarray(timestamp0, jnp.uint32))
+             sg(scene), pix, jnp.asarray(timestamp0, jnp.uint32))

@@ -280,3 +280,135 @@ def grad_step_sharded(
         return loss, grads
 
     return _step(pixel_index, target_flat, scene)
+
+
+def grad_step_sharded_fast(
+    scene: SceneData,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    target,
+    timestamp0: int = 0,
+    interpret: Optional[bool] = None,
+    optimize_emission: bool = False,
+):
+    """Distributed gradient step through the FUSED replay kernels
+    (VERDICT r4 #3: the round-4 `grad_step_sharded` differentiates the XLA
+    wavefront — the 0.05-steps/s class — while the single-chip fused pair
+    does the same job ~40x faster; a pod must invert at fused speed).
+
+    Per shard: the fused forward renders this shard's pixel BLOCKS at its
+    local spp (disjoint progressive frames), the replay backward re-runs
+    the same blocks, and parameter gradients all-reduce with ONE psum over
+    (tiles, spp) — the north star's 'psum overlapped with backward replay'
+    (XLA schedules the psum against the remaining replay blocks).
+
+    The loss gradient avoids differentiating through a collective with the
+    same linear-surrogate identity as grad_step_sharded: with
+    img = (1/S) sum_shards x_i and residual r = 2 (img - t)/N held
+    constant, each shard differentiates sum(r * x_local / local_spp) / S
+    through its own samples only; the psum of those shard gradients is
+    exactly dL/dtheta.
+
+    Returns (loss, d_bsdf_params[, d_tri_emission, d_light_emission]);
+    the emission grads are appended when optimize_emission=True.  Falls
+    back to grad_step_sharded (wavefront autodiff) where the fused
+    backward's coverage doesn't apply.
+    """
+    from ..integrator.mega_bvh import (
+        ROWS, _pix_blocks, mega_bvh_stream)
+    from ..integrator.mega import LANES as M_LANES, SUB
+    from ..integrator.mega_grad import (
+        MAX_GRAD_LIGHTS, mega_bvh_grad_eligible, mega_bvh_grad_rows,
+        mega_grad_eligible, render_blocks_diff)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spp_shards = mesh.shape["spp"]
+    tiles = mesh.shape["tiles"]
+    use_brute = mega_grad_eligible(scene, cfg)
+    use_bvh = not use_brute and mega_bvh_grad_eligible(scene, cfg)
+    if (not (use_brute or use_bvh)) or cfg.spp % spp_shards:
+        loss, grads = grad_step_sharded(scene, cfg, mesh, target, timestamp0)
+        if optimize_emission:
+            return (loss, grads, jnp.zeros_like(scene.tri_emission),
+                    jnp.zeros_like(scene.light_emission))
+        return loss, grads
+
+    n_pixels = cfg.width * cfg.height
+    local_spp = cfg.spp // spp_shards
+    cfg_local = cfg.replace(spp=local_spp)
+    if use_bvh:
+        grad_rows = mega_bvh_grad_rows(scene)
+        n_gl = (scene.num_lights
+                if scene.num_lights <= MAX_GRAD_LIGHTS else 0)
+        pix_np, valid = _pix_blocks(cfg, mega_bvh_stream(scene))
+    else:
+        grad_rows, n_gl = (), scene.num_lights
+        n_blocks = -(-n_pixels // (SUB * M_LANES))
+        padded = n_blocks * SUB * M_LANES
+        flat = np.arange(padded, dtype=np.int32)
+        valid = (flat < n_pixels).reshape(n_blocks, SUB, M_LANES)
+        pix_np = np.where(flat < n_pixels, flat, 0).reshape(
+            n_blocks, SUB, M_LANES)
+    nb = pix_np.shape[0]
+    nb_pad = -(-nb // tiles) * tiles
+    if nb_pad > nb:
+        pix_np = np.concatenate(
+            [pix_np, np.broadcast_to(pix_np[:1], (nb_pad - nb,)
+                                     + pix_np.shape[1:])])
+        valid = np.concatenate(
+            [np.asarray(valid).reshape(nb, -1),
+             np.zeros((nb_pad - nb, valid.reshape(nb, -1).shape[1]), bool)])
+    valid_b = np.asarray(valid, np.float32).reshape(pix_np.shape)
+    tgt_b = np.asarray(target, np.float32).reshape(n_pixels, 3)[
+        pix_np.reshape(-1)].reshape(pix_np.shape + (3,))
+
+    scene_g, [pix, validf, tgt] = _prep_inputs(
+        mesh, scene, [(pix_np, P("tiles", None, None)),
+                      (valid_b, P("tiles", None, None)),
+                      (tgt_b, P("tiles", None, None, None))])
+
+    denom = n_pixels * 3
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P("tiles"),
+                  _replicated_specs(scene)),
+        out_specs=(P(), _replicated_specs(
+            (scene.bsdf_params, scene.tri_emission, scene.light_emission))),
+        check_vma=False,
+    )
+    def _step(pix_l, val_l, tgt_l, scene_rep):
+        ts = jnp.uint32(timestamp0) + jax.lax.axis_index("spp") * local_spp
+
+        def local_mean(bp, te, le):
+            x = render_blocks_diff(
+                scene_rep.replace(bsdf_params=bp, tri_emission=te,
+                                  light_emission=le),
+                cfg_local, pix_l, ts, bvh=use_bvh, grad_rows=grad_rows,
+                n_grad_lights=n_gl, interpret=interpret)
+            return x / cfg.spp  # this shard's contribution to the mean
+
+        sg = jax.lax.stop_gradient
+        x0 = local_mean(scene_rep.bsdf_params, scene_rep.tri_emission,
+                        scene_rep.light_emission)
+        img_l = jax.lax.psum(sg(x0), "spp")  # per-lane mean estimate
+        vm = val_l[..., None]
+        residual = sg(2.0 * (img_l - tgt_l) * vm / denom)
+
+        def surrogate(bp, te, le):
+            return jnp.sum(residual * local_mean(bp, te, le))
+
+        g_bp, g_te, g_le = jax.grad(surrogate, argnums=(0, 1, 2))(
+            scene_rep.bsdf_params, scene_rep.tri_emission,
+            scene_rep.light_emission)
+        loss = jax.lax.psum(
+            jnp.sum(vm * (img_l - tgt_l) ** 2), "tiles") / denom
+        grads = jax.lax.psum((g_bp, g_te, g_le), ("tiles", "spp"))
+        return loss, grads
+
+    loss, (d_bp, d_te, d_le) = _step(pix, validf, tgt, scene_g)
+    if optimize_emission:
+        return loss, d_bp, d_te, d_le
+    return loss, d_bp

@@ -119,3 +119,74 @@ def test_sharded_fast_brute_path():
     img_s, img_u = np.asarray(img_s), np.asarray(img_u)
     assert np.allclose(img_s, img_u, atol=1e-5), np.abs(img_s - img_u).max()
     assert float(nrays_s) == float(nrays_u)
+
+
+def test_grad_sharded_fast_matches_fused_single():
+    """grad_step_sharded_fast (VERDICT r4 #3) runs the fused replay
+    backward per shard; on the virtual mesh its loss/grads must match the
+    single-device fused custom_vjp gradient of the same MSE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_bvh_grad_eligible, render_mega_bvh_diff)
+    from gpuspectral_tpu.parallel.dist import make_mesh, grad_step_sharded_fast
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
+    cfg = RenderConfig(width=32, height=32, spp=4, max_depth=3,
+                       ray_batch=1024, use_bvh=True, jitter=False,
+                       light_sampling="power", mis_mode="exact")
+    assert mega_bvh_grad_eligible(scene, cfg)
+    rng = np.random.default_rng(7)
+    target = rng.uniform(0.0, 1.0, (32, 32, 3)).astype(np.float32)
+
+    mesh = make_mesh(8, spp_shards=2)
+    loss_s, g_s = grad_step_sharded_fast(
+        scene, cfg, mesh, target, timestamp0=0, interpret=True)
+
+    def loss_fn(bp):
+        img = render_mega_bvh_diff(
+            scene.replace(bsdf_params=bp), cfg, 0, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    loss_u, g_u = jax.value_and_grad(loss_fn)(scene.bsdf_params)
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_grad_sharded_fast_brute_path():
+    """The brute-kernel (non-BVH) fused gradient also shards."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_grad_eligible, render_mega_diff)
+    from gpuspectral_tpu.parallel.dist import make_mesh, grad_step_sharded_fast
+    from gpuspectral_tpu.scene import load_mitsuba_scene
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, _ = load_mitsuba_scene("scenes/cornell/scene.xml")
+    cfg = RenderConfig(width=32, height=32, spp=4, max_depth=3,
+                       ray_batch=1024, use_bvh=False, jitter=False)
+    assert mega_grad_eligible(scene, cfg)
+    rng = np.random.default_rng(8)
+    target = rng.uniform(0.0, 1.0, (32, 32, 3)).astype(np.float32)
+
+    mesh = make_mesh(8, spp_shards=2)
+    loss_s, g_s = grad_step_sharded_fast(
+        scene, cfg, mesh, target, timestamp0=0, interpret=True)
+
+    def loss_fn(bp):
+        img = render_mega_diff(
+            scene.replace(bsdf_params=bp), cfg, 0, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    loss_u, g_u = jax.value_and_grad(loss_fn)(scene.bsdf_params)
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u),
+                               rtol=1e-4, atol=1e-7)

@@ -59,11 +59,14 @@ def main():
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     depth = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     w, h = (int(x) for x in size.split("x"))
-    if len(sys.argv) > 5:
+    if len(sys.argv) > 5 and int(sys.argv[5]):
         import gpuspectral_tpu.bvh.build as bd
 
         bd.BIN_TARGET = int(sys.argv[5])
         print(f"BIN_TARGET={bd.BIN_TARGET}")
+    if len(sys.argv) > 6:
+        mb.ROUND_SLOTS = int(sys.argv[6])
+        print(f"ROUND_SLOTS={mb.ROUND_SLOTS}")
     scene, _ = load_mitsuba_scene(scene_path)
     cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=depth,
                        ray_batch=w * h, use_bvh=True, jitter=False,
