@@ -58,35 +58,36 @@ def run_row(name: str):
     if name == "cornell":
         out = run_benchmark(render_args(cornell, 64, False))
     elif name == "test3_glossy":
-        # config 3: the spheres are REAL since round 4 (18k glossy tris
-        # routed through the fused-BVH kernel).  256^2 @ 2 spp: this
-        # scene's 512^2 kernel compile exceeds 25 min through the tunnel
-        # (a Mosaic pathology still undiagnosed); Mrays/s — rays actually
-        # traced per second — is resolution/spp-robust
+        # config 3 AS DECLARED (BASELINE.json configs[2]): 512^2 @ 32 spp.
+        # The round-4 ">25 min compile" pathology died with the round-5
+        # kernel restructure (fewer unrolled slices per traversal round):
+        # this shape compiles in ~22 s (tools/bench_kernel_true.py).
         out = run_benchmark(
-            render_args(os.path.join(REF_SCENES, "test3/scene.xml"), 2,
-                        True, size="256x256"))
+            render_args(os.path.join(REF_SCENES, "test3/scene.xml"), 32,
+                        True, size="512x512", iters=2))
     elif name == "staircase2":
-        # declared sampler: 64 spp (scene.xml); Mrays/s is the metric
+        # declared sampler: 64 spp (scene.xml); Mrays/s is the metric.
+        # iters=3 (VERDICT r4 #9): medians over >=3 iterations so the
+        # tunnel's ±8% variance stops masking real wins
         out = run_benchmark(
             render_args(os.path.join(REF_SCENES, "staircase2/scene.xml"),
-                        64, True, iters=1))
+                        64, True, iters=3))
     elif name == "coffee":
         out = run_benchmark(
             render_args(os.path.join(REF_SCENES, "coffee/scene.xml"), 64,
-                        True, iters=1))
+                        True, iters=2))
     elif name == "living_room":
         # declared film is 1280x720; benched at the same 16:9 aspect
         out = run_benchmark(
             render_args(os.path.join(REF_SCENES, "living-room/scene.xml"),
-                        64, True, size="512x288", iters=1))
+                        64, True, size="512x288", iters=2))
     elif name == "grad":
         out = run_grad_benchmark(cornell, steps=3)
     elif name == "grad_bvh":
-        # BVH-scene inversion at speed (VERDICT r3 #5a): fused-BVH replay
-        # gradients for staircase2's diffuse albedos
+        # BVH-scene inversion at the DECLARED 64 spp (VERDICT r4 #5): the
+        # fused replay pair now spp-chunks both passes (watchdog-safe)
         out = run_grad_benchmark(
-            os.path.join(REF_SCENES, "staircase2/scene.xml"), spp=8,
+            os.path.join(REF_SCENES, "staircase2/scene.xml"), spp=64,
             steps=2, use_bvh=True)
     elif name == "grad_1024":
         # config-5 scale on one chip (VERDICT r3 #6): 1024^2 @ 256 spp

@@ -281,13 +281,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             ms += [jnp.full((1, c_pad), _BIG)] * (prows - subgroups)
             m = jnp.concatenate(ms, axis=0) if prows > 1 else ms[0]
             bvs = []
+            key_pre = None
             for _ in range(k_bins):
                 km = (_i32(m) & ~jnp.int32(0xFFF)) | colp
+                if key_pre is None:
+                    # validity of THIS pick (any candidate at all) — the
+                    # pipelined loop guards on it one round later
+                    key_pre = jnp.min(km)
                 kmin = jnp.min(km, axis=1, keepdims=True)  # (prows,1)
                 bv = kmin & jnp.int32(0xFFF)
                 bvs.append(bv)
                 m = jnp.where(colp == bv, _BIG, m)
-            key_rest = jnp.min((_i32(m) & ~jnp.int32(0xFFF)) | colp)
             # scalar extraction via masked full-reduce (slicing row j of an
             # (8,1) vector — or single rows of the vis matrix — at non-8-
             # multiple sublane offsets does not lower in Mosaic)
@@ -299,7 +303,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             vis = tuple(
                 _mask_bins(vis[j], [bins[j][k] for k in range(k_bins)])
                 for j in range(subgroups))
-            return bins, vis, key_rest
+            return bins, vis, key_pre
 
         def sweep_tm(od, gsrc, goff, lo, hi):
             """Woop-test one bin's `slots` for one subgroup: t masked to
@@ -344,12 +348,18 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def cond(st):
                 ok = st[0] < _KEYBIG
-                return ok if not cap else ok & (st[4] < cap)
+                return ok if not cap else ok & (st[5] < cap)
 
             def body(st):
-                _, vis, bt, battr, it = st
-                bins, vis, key_rest = pick_batched(tn, vis, bt)
-                # sweep phase: tm planes per (tile, bin)
+                # software-pipelined rounds: sweep the bins PICKED LAST
+                # ROUND (carried as scalars — their vector->scalar
+                # extraction latency was hidden under last round's
+                # sweeps), and pick next round's bins from the PRE-commit
+                # bt: stale-by-one culling is conservative (never skips a
+                # closer hit), vis still grows every round (terminates),
+                # and the pick's reduces+extractions are independent of
+                # this round's fold, so they overlap the sweeps.
+                _, bins, vis, bt, battr, it = st
                 tms = []
                 if stream:
                     _stream_rt(bins[0][0], 0).start()
@@ -365,6 +375,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                             sweep_tm(od[j], gat_ref, bins[j][k] * slots,
                                      z1, _sub(bt, j))
                             for j in range(subgroups)])
+                bins2, vis, key_pre2 = pick_batched(tn, vis, bt)
                 # fold: ONE exact t reduce + ONE id reduce for the round
                 cat = (lambda xs: jnp.concatenate(xs, axis=0)
                        if subgroups > 1 else xs[0])
@@ -402,17 +413,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 battr_new = cat(parts)
                 bt = jnp.where(improved, t_it, bt)
                 battr = jnp.where(improved, battr_new, battr)
-                return (key_rest, vis, bt, battr, it + 1)
+                return (key_pre2, bins2, vis, bt, battr, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             bt0 = jnp.minimum(tmaxT, _BIG)
-            # initial candidate key so converged/dead groups skip the loop
-            # entirely (the fori over groups still runs their closest)
-            k0 = jnp.min(jnp.where(tn < bt0, _i32(tn), jnp.int32(2**31 - 1)))
-            init = (k0, vis0, bt0,
+            # round-0 pick outside the loop (pipeline prologue); its
+            # validity key doubles as the dead/converged-group skip
+            bins0, vis0, kp0 = pick_batched(tn, vis0, bt0)
+            init = (kp0, bins0, vis0, bt0,
                     jnp.zeros((128, n_rows), jnp.float32), jnp.int32(0))
-            _, _, bt, battr, _ = jax.lax.while_loop(cond, body, init)
+            _, _, _, bt, battr, _ = jax.lax.while_loop(cond, body, init)
             return bt, battr
 
         def any_group(oT, dT, tminT, tmaxT):
@@ -426,12 +437,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def cond(st):
                 ok = st[0] < _KEYBIG
-                return ok if not cap else ok & (st[3] < cap)
+                return ok if not cap else ok & (st[4] < cap)
 
             def body(st):
-                _, vis, occ, it = st
-                bins, vis, key_rest = pick_batched(
-                    tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
+                _, bins, vis, occ, it = st
                 hs = []
                 if stream:
                     _stream_rt(bins[0][0], 0).start()
@@ -447,6 +456,8 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                             sweep_tm(od[j], gat_ref, bins[j][k] * slots,
                                      _sub(tminT, j), _sub(tmaxT, j))
                             for j in range(subgroups)])
+                bins2, vis, key_pre2 = pick_batched(
+                    tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
                 cat = (lambda xs: jnp.concatenate(xs, axis=0)
                        if subgroups > 1 else xs[0])
                 hp = cat(hs[0])
@@ -455,15 +466,14 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 # ONE reduce: any slot with masked t < BIG occludes
                 hit_any = jnp.min(hp, axis=1, keepdims=True) < _BIG
                 occ = jnp.maximum(occ, hit_any.astype(jnp.float32) * _BIG)
-                return (key_rest, vis, occ, it + 1)
+                return (key_pre2, bins2, vis, occ, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             occ0 = jnp.zeros((128, 1), jnp.float32)
-            k0 = jnp.min(jnp.where(tn < _BIG, _i32(tn),
-                                   jnp.int32(2**31 - 1)))
-            _, _, occ, _ = jax.lax.while_loop(
-                cond, body, (k0, vis0, occ0, jnp.int32(0)))
+            bins0, vis0, kp0 = pick_batched(tn, vis0, tmaxT)
+            _, _, _, occ, _ = jax.lax.while_loop(
+                cond, body, (kp0, bins0, vis0, occ0, jnp.int32(0)))
             return occ
 
         # group-column gather/scatter on (128, ROWS) values: Mosaic has no

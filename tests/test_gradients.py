@@ -161,3 +161,97 @@ def test_invert_recovers_light_radiance(cornell_scene):
     emit = np.asarray(emit)
     lit = true_emit.sum(-1) > 0
     np.testing.assert_allclose(emit[lit], true_emit[lit], rtol=0.15)
+
+
+def _glossy_box_scene():
+    """Cornell-like box with one ROUGH_CONDUCTOR floor panel: the smallest
+    scene whose image depends on a GGX roughness alpha (BASELINE.json
+    configs[4] declares albedo/roughness recovery)."""
+    import numpy as np
+
+    from gpuspectral_tpu.bsdf import table as bt
+    from gpuspectral_tpu.scene.data import SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_bsdf(bt.diffuse((0.7, 0.7, 0.7)))
+    rough = b.add_bsdf(bt.rough_conductor(
+        eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+        reflectance=(1.0, 1.0, 1.0), alpha=0.3))
+
+    def quad(p0, p1, p2, p3, bsdf, emission=(0.0, 0.0, 0.0)):
+        p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+        pos = np.stack([np.stack([p0, p1, p2]), np.stack([p0, p2, p3])])
+        n = np.cross(pos[0, 1] - pos[0, 0], pos[0, 2] - pos[0, 0])
+        n = n / np.linalg.norm(n)
+        nrm = np.broadcast_to(n, (2, 3, 3)).copy()
+        b.add_object(pos, nrm, None, np.eye(4, dtype=np.float32), bsdf,
+                     emission=emission)
+
+    s_ = 1.0
+    # windings chosen so geometric normals face the box interior
+    quad((-s_, 0, -s_), (-s_, 0, s_), (s_, 0, s_), (s_, 0, -s_), rough)
+    quad((-s_, 2, -s_), (s_, 2, -s_), (s_, 2, s_), (-s_, 2, s_), white)
+    quad((-s_, 0, -s_), (s_, 0, -s_), (s_, 2, -s_), (-s_, 2, -s_), white)
+    quad((-0.3, 1.98, -0.3), (0.3, 1.98, -0.3), (0.3, 1.98, 0.3),
+         (-0.3, 1.98, 0.3), white, emission=(12.0, 12.0, 12.0))
+    to_world = np.eye(4, dtype=np.float32)
+    to_world[:3, 3] = (0.0, 1.0, 3.2)
+    to_world[2, 2] = -1.0  # look down -z
+    b.set_camera(to_world, float(np.deg2rad(50.0)))
+    return b.build(), rough
+
+
+def test_alpha_ad_matches_finite_differences():
+    """Pathwise AD of the GGX roughness alpha (through sampleHalf AND the
+    D/G terms, rayhit.rchit:155-166,185-204) vs central finite
+    differences — the declared 'roughness' half of configs[4]."""
+    import numpy as np
+
+    from gpuspectral_tpu.diff.gradcheck import _loss_and_grad, _loss_only
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, rough_row = _glossy_box_scene()
+    cfg = RenderConfig(width=24, height=24, spp=8, max_depth=3,
+                       ray_batch=576, use_bvh=False, jitter=False)
+    rng = np.random.default_rng(3)
+    target = rng.uniform(0, 1, (24 * 24, 3)).astype(np.float32)
+    params = scene.bsdf_params
+    _, g = _loss_and_grad(scene, cfg, params, target)
+    g_alpha = float(np.asarray(g)[rough_row, 9])
+    h = 2e-3
+    pp = params.at[rough_row, 9].add(h)
+    pm = params.at[rough_row, 9].add(-h)
+    fd = (float(_loss_only(scene, cfg, pm, target))
+          - float(_loss_only(scene, cfg, pp, target))) / (-2 * h)
+    assert np.isfinite(g_alpha) and abs(fd) > 0
+    # 12%: central-difference truncation of the strongly nonlinear GGX
+    # D/G alpha response at f32 (measured: 8.3% at h=2e-3; the sign and
+    # magnitude pin the pathwise derivative)
+    assert abs(g_alpha - fd) <= 0.12 * abs(fd) + 1e-5, (g_alpha, fd)
+
+
+def test_inverse_rendering_recovers_roughness():
+    """Adam + the invert loop recover a perturbed GGX alpha (configs[4]
+    'albedo/roughness')."""
+    import numpy as np
+
+    from gpuspectral_tpu.diff.invert import invert
+    from gpuspectral_tpu.integrator import render_image_auto
+    from gpuspectral_tpu.utils import RenderConfig
+
+    scene, rough_row = _glossy_box_scene()
+    cfg = RenderConfig(width=24, height=24, spp=16, max_depth=3,
+                       ray_batch=576, use_bvh=False, jitter=False)
+    target = np.asarray(render_image_auto(scene, cfg, 0))
+    true_alpha = float(scene.bsdf_params[rough_row, 9])
+
+    wrong = np.asarray(scene.bsdf_params).copy()
+    wrong[rough_row, 9] = 0.8
+    params, history = invert(scene, target, cfg, steps=120, lr=0.2,
+                             init_params=wrong)
+    got = float(np.asarray(params)[rough_row, 9])
+    # measured: 0.8 -> 0.412 (true 0.3) in 120 steps at this tiny
+    # spp/film — the alpha signal is weak against MC noise; gate that the
+    # error at least halves (direction + magnitude of the recovery)
+    assert abs(got - true_alpha) < abs(0.8 - true_alpha) * 0.5, (
+        got, true_alpha)
