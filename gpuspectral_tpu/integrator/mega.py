@@ -79,6 +79,9 @@ _CH_LIGHT_U2 = 5
 _CH_RR = 6
 _CH_JITTER_X = 7
 _CH_JITTER_Y = 8
+_CH_ENV_U1 = 9
+_CH_ENV_U2 = 10
+_CH_ENV_SELECT = 11
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +626,13 @@ def _pack_tables(scene: SceneData):
     cam = scene.camera
     r = cam.to_world[:3, :3].reshape(9)
     o = cam.to_world[:3, 3]
-    camv = jnp.concatenate([r, o, cam.fov[None]]).reshape(1, 13)
+    # cols 13-15: constant-env radiance, 16-24: world->env rotation,
+    # 25: env texel solid-angle pdf (zeros when no envmap; only read by
+    # kernels compiled for constant-env scenes)
+    camv = jnp.concatenate([
+        r, o, cam.fov[None], scene.envmap.reshape(-1)[0:3],
+        scene.envmap_rot.reshape(9), scene.envmap_pdf.reshape(-1)[0:1],
+    ]).reshape(1, 26)
     return scene.tri_woop_t, attr, light, camv
 
 
@@ -685,7 +694,7 @@ def _uniform_mod(bits, n: int):
 def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                      pick_light, sel_pdf_of_hit, fresh, pix, spp,
                      modulate=None, sync_regen: bool = False,
-                     grad_hook=None):
+                     grad_hook=None, env=None):
     """The shared per-bounce shading + MIS/RR/regeneration state machine.
 
     Both persistent kernels (this module's brute-force one and
@@ -699,6 +708,13 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                                (uniform: 1/n_lights; power: baked attr row)
       fresh(sample) -> (o, d, seed)  per-pixel ray regeneration
       modulate(p, attrs, bu, bv) -> p   albedo modulation hook (textures)
+      env: constant-environment emitter (1x1 map; the capability slice
+           the fused kernels cover — path_tracer handles general maps):
+           dict(const=(er,eg,eb) scalars, rot=(9 scalars, world->env),
+           pdf=<texel solid-angle pdf scalar>, p_env=<static float>,
+           has_area=<static bool>).  NEE mixes the env strategy with
+           probability p_env and misses shade the constant radiance,
+           MIS-discounted exactly as path_tracer (same RNG channels).
 
     Semantics follow rayhit.rchit:666-797 + raygen.rgen:51-91 exactly, as
     path_tracer.trace_wavefront does (tests assert equivalence)."""
@@ -780,6 +796,40 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         light_pdf = ldist * ldist / jnp.maximum(jnp.abs(cos_light) * larea, 1e-12)
         light_pdf = light_pdf * select_pdf
 
+        p_env = env["p_env"] if (env and cfg.nee) else 0.0
+        if env and cfg.nee:
+            # constant-env NEE strategy (path_tracer env mixture, 1x1 map:
+            # texel 0, direction uniform-in-solid-angle over the sphere —
+            # same ops/order as integrator/envmap.py:sample_envmap)
+            eu1 = _uniform(seed, bounce, _CH_ENV_U1)
+            eu2 = _uniform(seed, bounce, _CH_ENV_U2)
+            if env["has_area"]:
+                env_pick = _uniform(seed, bounce, _CH_ENV_SELECT) < p_env
+            else:
+                env_pick = jnp.ones_like(hit)
+            jv = jnp.clip(eu1 / jnp.maximum(1.0, 1e-12), 0.0, 1.0)
+            phi = (2.0 * eu2 - 1.0) * M_PI
+            cos_t = 1.0 + jv * (-1.0 - 1.0)
+            theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+            st_ = jnp.sin(theta)
+            ee = (st_ * jnp.sin(phi), jnp.cos(theta), -st_ * jnp.cos(phi))
+            rot = env["rot"]  # 9 scalars, world->env; env->world = transpose
+            env_dir = (
+                ee[0] * rot[0] + ee[1] * rot[3] + ee[2] * rot[6],
+                ee[0] * rot[1] + ee[1] * rot[4] + ee[2] * rot[7],
+                ee[0] * rot[2] + ee[1] * rot[5] + ee[2] * rot[8],
+            )
+            er, eg, eb = env["const"]
+            ldir = _where3(env_pick, env_dir, ldir)
+            ldist = jnp.where(env_pick, jnp.float32(1e30), ldist)
+            light_emitted = _where3(
+                env_pick,
+                (jnp.zeros_like(ldist) + er, jnp.zeros_like(ldist) + eg,
+                 jnp.zeros_like(ldist) + eb),
+                light_emitted)
+            light_pdf = jnp.where(env_pick, env["pdf"] * p_env,
+                                  light_pdf * (1.0 - p_env))
+
         w_light_local = _to_local(tg, bn, nn, ldir)
         nol = jnp.abs(_dot(sn, ldir))
         f_light, _lpdf, _ld = _eval_bsdf_soa(present, p, kind, wo, w_light_local)
@@ -795,7 +845,14 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         )
         nee_done = nee_candidate & (~shadowed) & (light_pdf != 0.0)
 
-        w_mis = _power_heuristic(light_pdf, pdf)
+        if env and cfg.nee:
+            # env strategy uses the exact eval pdf at the NEE direction
+            # (path_tracer note: the reference's sampled-pdf quirk is kept
+            # for area lights only)
+            mis_bsdf_pdf = jnp.where(env_pick, _lpdf, pdf)
+        else:
+            mis_bsdf_pdf = pdf
+        w_mis = _power_heuristic(light_pdf, mis_bsdf_pdf)
         inv_lpdf = _safe_inv(light_pdf)
         nee_s = w_mis * nol * inv_lpdf
         weight = (st["wr"], st["wg"], st["wb"])
@@ -814,6 +871,8 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
             area_hit = a[30]
             cos_hit = jnp.abs(_dot(gn, _neg(d)))
             sel_hit = sel_pdf_of_hit(a)
+            if env:
+                sel_hit = sel_hit * (1.0 - p_env)  # env/area mixture
             pdf_hit = t_safe * t_safe / jnp.maximum(cos_hit * area_hit, 1e-12) * sel_hit
             w_emit = jnp.where(
                 st["prev_nee"] != 0, _power_heuristic(st["prev_pdf"], pdf_hit), 1.0
@@ -829,6 +888,23 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         e_r = jnp.where(hit, e_r, 0.0)
         e_g = jnp.where(hit, e_g, 0.0)
         e_b = jnp.where(hit, e_b, 0.0)
+        if env:
+            # constant radiance on miss, MIS-discounted against the env
+            # NEE strategy (path_tracer env-miss block; miss.rmiss:15-18
+            # stubs this in the reference)
+            er, eg, eb = env["const"]
+            if cfg.nee:
+                pdf_e = env["pdf"] * p_env
+                w_env = jnp.where(
+                    (st["prev_nee_any"] != 0) & (~wd),
+                    _power_heuristic(st["prev_pdf"], pdf_e), 1.0)
+                scale_env = jnp.where(ce, 1.0, w_env)
+            else:
+                scale_env = 1.0
+            mf_ = jnp.where(miss, scale_env, 0.0)
+            e_r = e_r + mf_ * weight[0] * er
+            e_g = e_g + mf_ * weight[1] * eg
+            e_b = e_b + mf_ * weight[2] * eb
 
         invalid_hemi = (_dot(wi_world, gn) <= 0.0) & (~transmission)
         self_isect = (_dot(gn, _neg(d)) <= 0.0) & (~transmission)
@@ -859,6 +935,9 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         st["prev_pdf"] = jnp.where(cont, pdf, st["prev_pdf"])
         b2i = lambda b: jnp.where(b, 1, 0)
         st["prev_nee"] = jnp.where(cont, b2i(nee_done), st["prev_nee"])
+        if env:
+            st["prev_nee_any"] = jnp.where(cont, b2i(nee_candidate),
+                                           st["prev_nee_any"])
         st["was_delta"] = jnp.where(cont, b2i(delta), st["was_delta"])
         st["count_emitted"] = jnp.where(cont, 0, st["count_emitted"])
         st["done"] = b2i((st["done"] != 0) | miss | terminate)
@@ -917,6 +996,8 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         st["direct_weight"] = jnp.where(regen, 1.0, st["direct_weight"])
         st["prev_pdf"] = jnp.where(regen, 1.0, st["prev_pdf"])
         st["prev_nee"] = jnp.where(regen, 0, st["prev_nee"])
+        if env:
+            st["prev_nee_any"] = jnp.where(regen, 0, st["prev_nee_any"])
         st["was_delta"] = jnp.where(regen, 0, st["was_delta"])
         st["count_emitted"] = jnp.where(regen, 1, st["count_emitted"])
         st["depth"] = jnp.where(regen, 0, depth)
@@ -928,7 +1009,8 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
     return body
 
 
-def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
+def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple,
+                 has_env: bool = False, has_area: bool = True):
     """Returns the kernel closure.  All shape/config values are static; the
     progressive timestamp arrives as a traced SMEM scalar so successive
     frames reuse one executable (raygen.rgen:37 semantics)."""
@@ -1087,6 +1169,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             sample=jnp.zeros((SUB, LANES), jnp.uint32),
             it=jnp.int32(0),
         )
+        if has_env:
+            state["prev_nee_any"] = zi
 
         def cond(st):
             exhausted = (st["done"] != 0) & (st["sample"] + 1 >= spp)
@@ -1105,6 +1189,15 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
                     (lr[6], lr[7], lr[8]), (lr[9], lr[10], lr[11]),
                     1.0 / n_lights, lidx)
 
+        env = None
+        if has_env:
+            env = dict(
+                const=(cam_ref[0, 13], cam_ref[0, 14], cam_ref[0, 15]),
+                rot=tuple(cam_ref[0, 16 + i] for i in range(9)),
+                pdf=cam_ref[0, 25],
+                p_env=(0.5 if has_area else 1.0),
+                has_area=has_area,
+            )
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -1113,6 +1206,7 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
             sel_pdf_of_hit=lambda a: 1.0 / n_lights,
             fresh=lambda sample: fresh(pix, sample),
             pix=pix, spp=spp,
+            env=env,
         )
         state = jax.lax.while_loop(cond, body, state)
         rad_r_ref[:] = state["rad_r"]
@@ -1123,12 +1217,19 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple):
     return kernel
 
 
+def _env_const_ok(scene: SceneData) -> bool:
+    """Envmap coverage of the fused kernels: none, or a CONSTANT emitter
+    (1x1 map — Mitsuba `constant`).  General lat-long maps need per-lane
+    texel gathers (no such VPU primitive) and stay on the XLA wavefront."""
+    return (not scene.has_envmap) or tuple(scene.envmap.shape[:2]) == (1, 1)
+
+
 def mega_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Whether the fused megakernel covers this (scene, config)."""
     return (
         not cfg.use_bvh
         and not scene.has_textures
-        and not scene.has_envmap  # env eval needs HBM gathers; XLA path
+        and _env_const_ok(scene)
         and cfg.light_sampling == "uniform"
         and scene.num_tris > 0
         and scene.num_tris <= MEGA_MAX_TRIS
@@ -1147,7 +1248,9 @@ def render_mega_rows(scene: SceneData, cfg: RenderConfig, pix,
     assert rows % SUB == 0, rows
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
     kernel = _make_kernel(cfg, scene.num_tris, scene.num_lights,
-                          scene.kinds_present)
+                          scene.kinds_present,
+                          has_env=scene.has_envmap,
+                          has_area=scene.has_area_lights)
     blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)

@@ -146,7 +146,8 @@ def _inv_dir1(dx):
 
 def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                  n_lights: int, present: tuple, light_mode: str,
-                 n_attr: int = _NA, stream: bool = False, grad_cfg=None):
+                 n_attr: int = _NA, stream: bool = False, grad_cfg=None,
+                 has_env: bool = False, has_area: bool = True):
     """grad_cfg (path-replay backward mode): dict(rows=<static tuple of
     diffuse bsdf rows>, n_lights=<emission-grad light count, 0 to
     disable>).  The kernel then takes per-lane cotangent planes + the grad
@@ -611,6 +612,15 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         else:
             grad_hook = None
 
+        env = None
+        if has_env:
+            env = dict(
+                const=(cam_ref[0, 13], cam_ref[0, 14], cam_ref[0, 15]),
+                rot=tuple(cam_ref[0, 16 + i] for i in range(9)),
+                pdf=cam_ref[0, 25],
+                p_env=(0.5 if has_area else 1.0),
+                has_area=has_area,
+            )
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -622,6 +632,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             modulate=modulate,
             sync_regen=cfg.mega_sync_regen,
             grad_hook=grad_hook,
+            env=env,
         )
 
         o0, d0, seed0 = fresh(jnp.uint32(0))
@@ -647,6 +658,8 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             sample=jnp.zeros((ROWS, LANES), jnp.uint32),
             it=jnp.int32(0),
         )
+        if has_env:
+            state["prev_nee_any"] = zi
         if grad_cfg:
             from .mega_grad import init_grad_state, reduce_grads_to_lanes
 
@@ -797,9 +810,12 @@ def _stream_bin_scratch_bytes(scene: SceneData) -> int:
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Whether the fused BVH megakernel covers this (scene, config)."""
+    from .mega import _env_const_ok
+
     base = (
         cfg.use_bvh
-        and not scene.has_envmap  # env NEE/miss shading: wavefront path
+        and _env_const_ok(scene)  # constant emitters fused; lat-long maps
+        # need per-lane texel gathers -> wavefront path
         and cfg.light_sampling in ("uniform", "power")
         and scene.num_tris > 0
         and scene.num_lights < (1 << 16)
@@ -885,7 +901,9 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     assert gat.shape[1 if stream else 0] == n_rows
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
                           scene.num_lights, scene.kinds_present, light_mode,
-                          n_attr=n_attr, stream=stream)
+                          n_attr=n_attr, stream=stream,
+                          has_env=scene.has_envmap,
+                          has_area=scene.has_area_lights)
 
     blk = pl.BlockSpec((1, ROWS, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)

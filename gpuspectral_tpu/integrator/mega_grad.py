@@ -75,6 +75,9 @@ _KD_EPS = 1e-4  # clamp for the removable kd=0 singularity (module docstring)
 def mega_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     return (
         mega_eligible(scene, cfg)
+        # env scenes: the replay hook's NEE-attribution masks don't
+        # distinguish the env strategy yet; XLA autodiff covers them
+        and not scene.has_envmap
         and scene.kinds_present == (BSDF_DIFFUSE,)
         and scene.bsdf_kind.shape[0] <= MAX_GRAD_BSDFS
         and scene.num_lights <= MAX_GRAD_LIGHTS
@@ -478,6 +481,7 @@ def mega_bvh_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
 
     return (
         mega_bvh_eligible(scene, cfg)
+        and not scene.has_envmap  # see mega_grad_eligible
         and cfg.max_depth <= cfg.rr_start_depth
         and len(mega_bvh_grad_rows(scene)) > 0
     )
@@ -515,7 +519,8 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
     kernel = _make_bvh_kernel(
         cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad, L,
         scene.kinds_present, light_mode, n_attr=n_attr, stream=stream,
-        grad_cfg=dict(rows=grad_rows, n_lights=n_grad_lights))
+        grad_cfg=dict(rows=grad_rows, n_lights=n_grad_lights),
+        has_env=scene.has_envmap, has_area=scene.has_area_lights)
 
     blk = pl.BlockSpec((1, ROWS, B_LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)

@@ -202,3 +202,64 @@ def test_sample_envmap_exact_mc_integral():
         pdf2 = np.asarray(envmap_pdf(sc.envmap_pdf, sc.envmap_rot, d))
         frac = np.mean(np.abs(pdf2 - np.asarray(pdf)) / np.asarray(pdf) > 1e-4)
         assert frac < 1e-3, frac
+
+
+import pytest  # noqa: E402
+
+
+def _env_box_builder(with_light: bool):
+    """A small box open on one side under a constant emitter, optionally
+    with an area light — exercises the env/area NEE mixture."""
+    b = SceneBuilder()
+    s = 1.0
+    quads = [
+        # floor (+y), back wall (+z), left wall (+x)
+        [[-s, 0, -s], [-s, 0, s], [s, 0, s]], [[-s, 0, -s], [s, 0, s], [s, 0, -s]],
+        [[-s, 0, -s], [s, 0, -s], [s, 2, -s]], [[-s, 0, -s], [s, 2, -s], [-s, 2, -s]],
+        [[-s, 0, -s], [-s, 2, -s], [-s, 2, s]], [[-s, 0, -s], [-s, 2, s], [-s, 0, s]],
+    ]
+    v = np.asarray(quads, np.float32)
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    nrm = np.broadcast_to(n[:, None, :], (v.shape[0], 3, 3)).copy()
+    bidx = b.add_bsdf(diffuse([0.6, 0.4, 0.3]))
+    b.add_object(v, nrm, None, np.eye(4, dtype=np.float32), bidx)
+    if with_light:
+        lv = np.asarray(
+            [[[-0.2, 1.9, -0.2], [0.2, 1.9, -0.2], [0.2, 1.9, 0.2]]],
+            np.float32)
+        ln = np.broadcast_to(np.float32([0, -1, 0]), (1, 3, 3)).copy()
+        b.add_object(lv, ln, None, np.eye(4, dtype=np.float32), bidx,
+                     emission=(6.0, 6.0, 6.0))
+    b.set_envmap(np.broadcast_to(np.float32([1.5, 0.8, 0.4]), (1, 1, 3)))
+    to_world = np.eye(4, dtype=np.float32)
+    to_world[:3, 3] = (0.0, 1.0, 3.0)
+    to_world[2, 2] = -1.0
+    b.set_camera(to_world, float(np.deg2rad(60.0)))
+    return b.build()
+
+
+@pytest.mark.parametrize("with_light", [False, True])
+def test_constant_env_fused_matches_wavefront(with_light):
+    """Constant emitters run through the fused megakernels (VERDICT r4 #7):
+    env NEE mixture + MIS-discounted miss shading must match the XLA
+    wavefront bitwise in interpret mode (same RNG channels, same op
+    order)."""
+    from gpuspectral_tpu.integrator.mega import mega_eligible, render_mega
+    from gpuspectral_tpu.integrator.mega_bvh import (
+        mega_bvh_eligible, render_mega_bvh)
+
+    scene = _env_box_builder(with_light)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       ray_batch=256, jitter=False)
+    assert mega_eligible(scene, cfg)
+    img_w = np.asarray(render_image(scene, cfg))
+    img_m = np.asarray(render_mega(scene, cfg, 0, interpret=True)[0])
+    assert np.isfinite(img_m).all()
+    assert np.allclose(img_w, img_m, atol=2e-5), np.abs(img_w - img_m).max()
+
+    cfgb = cfg.replace(use_bvh=True, light_sampling="uniform")
+    assert mega_bvh_eligible(scene, cfgb)
+    img_wb = np.asarray(render_image(scene, cfgb))
+    img_b = np.asarray(render_mega_bvh(scene, cfgb, 0, interpret=True)[0])
+    assert np.allclose(img_wb, img_b, atol=2e-5), np.abs(img_wb - img_b).max()
