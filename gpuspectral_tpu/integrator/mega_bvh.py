@@ -165,9 +165,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     seg = 128 // subgroups  # rays per traversal tile (sub-sweep rows)
     # bins swept per subgroup per round: the fold (2 lane-reduces + the
     # one-hot gather) is paid once per ROUND, so sweeping K>1 bins per
-    # round amortizes it; streaming keeps K=2 so bin k+1's DMA prefetches
-    # under bin k's sweep (double buffering)
-    k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
+    # round amortizes it; streaming sweeps K=4 with a depth-2 DMA
+    # prefetch window over 4 VMEM buffers, so only bin 0's HBM latency
+    # per round is exposed
+    k_bins = max(1, min(4 if stream else ROUND_SLOTS // slots, n_bins))
 
     def kernel(pix_ref, bounds_ref, gat_ref, light_ref, cam_ref,
                ts_ref, *rest):
@@ -180,10 +181,11 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         if stream:
             # streaming mode: gat_ref (bins, n_rows, slots) lives in HBM;
             # each traversal round DMAs the visited bins' rows into these
-            # double-buffered VMEM buffers, prefetching bin k+1 under bin
-            # k's sweep (one merged attr+woop copy per bin — round 4 paid
-            # two DMA round-trips per bin)
-            gat_bufs, gat_sems = scratch[0:2], scratch[2:4]
+            # VMEM buffers (one merged attr+woop copy per bin — round 4
+            # paid two), with a depth-2 prefetch window so bins 1..k-1
+            # stream under the preceding sweeps
+            nbuf = min(4, max(2, k_bins))
+            gat_bufs, gat_sems = scratch[0:nbuf], scratch[nbuf:2 * nbuf]
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (8,128)
 
@@ -329,7 +331,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
         def _stream_rt(b, k):
             return pltpu.make_async_copy(
-                gat_ref.at[b], gat_bufs[k % 2], gat_sems[k % 2])
+                gat_ref.at[b], gat_bufs[k % nbuf], gat_sems[k % nbuf])
 
         def closest_group(oT, dT, tmaxT):
             """Front-to-back traversal of one 128-ray group as `subgroups`
@@ -363,12 +365,13 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 _, bins, vis, bt, battr, it = st
                 tms = []
                 if stream:
-                    _stream_rt(bins[0][0], 0).start()
+                    for k in range(min(2, k_bins)):
+                        _stream_rt(bins[0][k], k).start()
                     for k in range(k_bins):
                         _stream_rt(bins[0][k], k).wait()
-                        if k + 1 < k_bins:
-                            _stream_rt(bins[0][k + 1], k + 1).start()
-                        tms.append([sweep_tm(od[0], gat_bufs[k % 2], 0,
+                        if k + 2 < k_bins:
+                            _stream_rt(bins[0][k + 2], k + 2).start()
+                        tms.append([sweep_tm(od[0], gat_bufs[k % nbuf], 0,
                                              z1, _sub(bt, 0))])
                 else:
                     for k in range(k_bins):
@@ -404,7 +407,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                     for k in range(k_bins):
                         first = _sub(firsts[k], j)
                         if stream:
-                            gs = gat_bufs[k % 2][:, :]
+                            gs = gat_bufs[k % nbuf][:, :]
                         else:
                             gs = gat_ref[:, pl.ds(pl.multiple_of(
                                 bins[j][k] * slots, LANES), slots)]
@@ -444,12 +447,13 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 _, bins, vis, occ, it = st
                 hs = []
                 if stream:
-                    _stream_rt(bins[0][0], 0).start()
+                    for k in range(min(2, k_bins)):
+                        _stream_rt(bins[0][k], k).start()
                     for k in range(k_bins):
                         _stream_rt(bins[0][k], k).wait()
-                        if k + 1 < k_bins:
-                            _stream_rt(bins[0][k + 1], k + 1).start()
-                        hs.append([sweep_tm(od[0], gat_bufs[k % 2], 0,
+                        if k + 2 < k_bins:
+                            _stream_rt(bins[0][k + 2], k + 2).start()
+                        hs.append([sweep_tm(od[0], gat_bufs[k % nbuf], 0,
                                             _sub(tminT, 0), _sub(tmaxT, 0))])
                 else:
                     for k in range(k_bins):
@@ -794,8 +798,8 @@ def mega_bvh_stream(scene: SceneData) -> bool:
     return mega_bvh_table_bytes(scene) > MEGA_BVH_TABLE_BYTES
 
 
-# streaming-mode caps: one bin's double-buffered, 8-row-padded VMEM scratch
-# (the ACTUAL allocation: 2 buffers x pad8(na + 12 woop rows) x slots x 4 B)
+# streaming-mode caps: one bin's 4-buffer, 8-row-padded VMEM scratch
+# (the ACTUAL allocation: 4 buffers x pad8(na + 12 woop rows) x slots x 4 B)
 # must fit the scratch budget, and the (group_r, c_pad) entry matrix must
 # stay small
 MEGA_BVH_STREAM_BIN_BYTES = 2 * 1024 * 1024
@@ -805,7 +809,7 @@ MEGA_BVH_STREAM_MAX_BINS = 4096
 def _stream_bin_scratch_bytes(scene: SceneData) -> int:
     na = _NA_TEX if scene.has_textures else _NA
     n_rows = -(-(na + 12) // 8) * 8
-    return 2 * n_rows * scene.bvh_bin_slots * 4
+    return 4 * n_rows * scene.bvh_bin_slots * 4
 
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -915,12 +919,9 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     slots = scene.bvh_bin_slots
     scratch = []
     if stream:
-        scratch = [
-            pltpu.VMEM((n_rows, slots), jnp.float32),
-            pltpu.VMEM((n_rows, slots), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ]
+        nbuf = min(4, max(2, scene.bvh_bins))
+        scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
+                   + [pltpu.SemaphoreType.DMA] * nbuf)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),

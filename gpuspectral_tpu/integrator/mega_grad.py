@@ -531,12 +531,9 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
     slots = scene.bvh_bin_slots
     scratch = []
     if stream:
-        scratch = [
-            pltpu.VMEM((n_rows, slots), jnp.float32),
-            pltpu.VMEM((n_rows, slots), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ]
+        nbuf = min(4, max(2, scene.bvh_bins))
+        scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
+                   + [pltpu.SemaphoreType.DMA] * nbuf)
     grads = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
