@@ -165,10 +165,11 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     seg = 128 // subgroups  # rays per traversal tile (sub-sweep rows)
     # bins swept per subgroup per round: the fold (2 lane-reduces + the
     # one-hot gather) is paid once per ROUND, so sweeping K>1 bins per
-    # round amortizes it; streaming sweeps K=4 with a depth-2 DMA
-    # prefetch window over 4 VMEM buffers, so only bin 0's HBM latency
-    # per round is exposed
-    k_bins = max(1, min(4 if stream else ROUND_SLOTS // slots, n_bins))
+    # round amortizes it; streaming keeps K=2 — K=4 measured 12% SLOWER
+    # (over-sweeps the last bins of nearly-converged groups at 512-slot
+    # granularity) — with both DMAs started before the first wait so bin
+    # 1 streams fully under bin 0's sweep
+    k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
 
     def kernel(pix_ref, bounds_ref, gat_ref, light_ref, cam_ref,
                ts_ref, *rest):
@@ -184,7 +185,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             # VMEM buffers (one merged attr+woop copy per bin — round 4
             # paid two), with a depth-2 prefetch window so bins 1..k-1
             # stream under the preceding sweeps
-            nbuf = min(4, max(2, k_bins))
+            nbuf = 2
             gat_bufs, gat_sems = scratch[0:nbuf], scratch[nbuf:2 * nbuf]
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[0], jnp.uint32)  # (8,128)
@@ -798,8 +799,8 @@ def mega_bvh_stream(scene: SceneData) -> bool:
     return mega_bvh_table_bytes(scene) > MEGA_BVH_TABLE_BYTES
 
 
-# streaming-mode caps: one bin's 4-buffer, 8-row-padded VMEM scratch
-# (the ACTUAL allocation: 4 buffers x pad8(na + 12 woop rows) x slots x 4 B)
+# streaming-mode caps: one bin's double-buffered, 8-row-padded VMEM scratch
+# (the ACTUAL allocation: 2 buffers x pad8(na + 12 woop rows) x slots x 4 B)
 # must fit the scratch budget, and the (group_r, c_pad) entry matrix must
 # stay small
 MEGA_BVH_STREAM_BIN_BYTES = 2 * 1024 * 1024
@@ -809,7 +810,7 @@ MEGA_BVH_STREAM_MAX_BINS = 4096
 def _stream_bin_scratch_bytes(scene: SceneData) -> int:
     na = _NA_TEX if scene.has_textures else _NA
     n_rows = -(-(na + 12) // 8) * 8
-    return 4 * n_rows * scene.bvh_bin_slots * 4
+    return 2 * n_rows * scene.bvh_bin_slots * 4
 
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -919,7 +920,7 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     slots = scene.bvh_bin_slots
     scratch = []
     if stream:
-        nbuf = min(4, max(2, scene.bvh_bins))
+        nbuf = 2
         scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
                    + [pltpu.SemaphoreType.DMA] * nbuf)
     return pl.pallas_call(

@@ -531,7 +531,7 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
     slots = scene.bvh_bin_slots
     scratch = []
     if stream:
-        nbuf = min(4, max(2, scene.bvh_bins))
+        nbuf = 2
         scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
                    + [pltpu.SemaphoreType.DMA] * nbuf)
     grads = pl.pallas_call(
