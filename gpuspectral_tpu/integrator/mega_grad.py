@@ -23,8 +23,25 @@ gradients equal full autodiff's — finite-difference-checked in
 tests/test_mega_grad.py.  Depth is gated to <= rr_start_depth: Russian
 roulette's 1/q reweight does depend on kd, a term this estimator drops.
 
-Everything else (rough BSDFs, textures, BVH scenes, deep RR paths) falls
-back to the XLA-wavefront differentiable path (diff/, grad_remat).
+BVH scenes get the same treatment through the fused-BVH kernel twin
+(render_mega_bvh_diff below — mixed-BSDF scenes included: specular
+factors are kd-independent constants under the counting identity).
+
+GGX roughness (alpha) stays on the XLA-wavefront autodiff DELIBERATELY:
+the pathwise alpha derivative flows through sampleHalf's half-vector —
+alpha perturbs the sampled direction, which moves every downstream hit
+point, so matching finite differences requires propagating direction
+derivatives through the traversal (closest_diff's (t,u,v) vjp), a term
+no local replay identity can express.  A detached-sampler alpha estimate
+would NOT FD-match (rough bounces are importance-sampled, so most of the
+local dependence cancels in f/pdf).  The wavefront's full AD is
+FD-checked for alpha (tests/test_gradients.py:
+test_alpha_ad_matches_finite_differences) and diff/invert.py's coverage
+gate routes alpha-optimizing problems there automatically.
+
+Everything else (textures on the brute kernel, envmap scenes, deep RR
+paths) also falls back to the XLA-wavefront differentiable path
+(diff/, grad_remat).
 
 kd at exactly 0 is a removable singularity of the counting identity
 (suffix radiance is 0 but its kd-derivative is not); the division is
