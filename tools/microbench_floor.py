@@ -1,4 +1,11 @@
 #!/usr/bin/env python
+"""SUPERSEDED (round 5): this harness times per-call through the axon
+tunnel, whose ~28 ms sync RTT dominates the measurement — its absolute
+numbers (and the round-4 conclusions drawn from them) are artifacts.
+Use tools/mbench.py's call-count-slope protocol (microbench_round5.py,
+bench_kernel_true.py) instead.  Kept for the record.
+
+"""
 """Where does the ~2.7us/round floor of every sweep variant come from?
 
 Variants (same fori_loop harness as microbench_sweep2, N_ROUNDS=512):

@@ -1,4 +1,11 @@
 #!/usr/bin/env python
+"""SUPERSEDED (round 5): this harness times per-call through the axon
+tunnel, whose ~28 ms sync RTT dominates the measurement — its absolute
+numbers (and the round-4 conclusions drawn from them) are artifacts.
+Use tools/mbench.py's call-count-slope protocol (microbench_round5.py,
+bench_kernel_true.py) instead.  Kept for the record.
+
+"""
 """Round-5 traversal-design microbench: WHY is the fused-BVH sweep ~3x
 slower per vreg-op than the brute kernel, and what form fixes it?
 
