@@ -296,6 +296,9 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 bv = kmin & jnp.int32(0xFFF)
                 bvs.append(bv)
                 m = jnp.where(colp == bv, _BIG, m)
+            # post-pick candidate min: the NON-pipelined (streaming) loop
+            # guards on it within the same round
+            key_rest = jnp.min((_i32(m) & ~jnp.int32(0xFFF)) | colp)
             # scalar extraction via masked full-reduce (slicing row j of an
             # (8,1) vector — or single rows of the vis matrix — at non-8-
             # multiple sublane offsets does not lower in Mosaic)
@@ -307,7 +310,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             vis = tuple(
                 _mask_bins(vis[j], [bins[j][k] for k in range(k_bins)])
                 for j in range(subgroups))
-            return bins, vis, key_pre
+            return bins, vis, key_pre, key_rest
 
         def sweep_tm(od, gsrc, goff, lo, hi):
             """Woop-test one bin's `slots` for one subgroup: t masked to
@@ -355,15 +358,23 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 return ok if not cap else ok & (st[5] < cap)
 
             def body(st):
-                # software-pipelined rounds: sweep the bins PICKED LAST
-                # ROUND (carried as scalars — their vector->scalar
-                # extraction latency was hidden under last round's
-                # sweeps), and pick next round's bins from the PRE-commit
-                # bt: stale-by-one culling is conservative (never skips a
-                # closer hit), vis still grows every round (terminates),
-                # and the pick's reduces+extractions are independent of
-                # this round's fold, so they overlap the sweeps.
+                # RESIDENT: software-pipelined rounds — sweep the bins
+                # PICKED LAST ROUND (carried as scalars, extraction
+                # latency hidden under last round's sweeps) and pick next
+                # round's bins from the PRE-commit bt: stale-by-one
+                # culling is conservative (never skips a closer hit), vis
+                # still grows every round (terminates), and the pick is
+                # independent of this round's fold, so it overlaps the
+                # sweeps.  STREAMING: pick in-round — the pipeline's ~1
+                # extra round per traversal costs a full HBM DMA
+                # round-trip there (measured: coffee 1.75 -> 1.51
+                # Mrays/s), while the extraction latency it would hide is
+                # already buried under the DMA wait.
                 _, bins, vis, bt, battr, it = st
+                if stream:
+                    # in-round pick: these ARE this round's bins
+                    bins, vis, _kp, key_next = pick_batched(tn, vis, bt)
+                    nbins, nvis = bins, vis
                 tms = []
                 if stream:
                     for k in range(min(2, k_bins)):
@@ -380,7 +391,9 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                             sweep_tm(od[j], gat_ref, bins[j][k] * slots,
                                      z1, _sub(bt, j))
                             for j in range(subgroups)])
-                bins2, vis, key_pre2 = pick_batched(tn, vis, bt)
+                    # NEXT round's bins — the fold below still gathers
+                    # from THIS round's `bins`
+                    nbins, nvis, key_next, _kr = pick_batched(tn, vis, bt)
                 # fold: ONE exact t reduce + ONE id reduce for the round
                 cat = (lambda xs: jnp.concatenate(xs, axis=0)
                        if subgroups > 1 else xs[0])
@@ -418,14 +431,21 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 battr_new = cat(parts)
                 bt = jnp.where(improved, t_it, bt)
                 battr = jnp.where(improved, battr_new, battr)
-                return (key_pre2, bins2, vis, bt, battr, it + 1)
+                return (key_next, nbins, nvis, bt, battr, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             bt0 = jnp.minimum(tmaxT, _BIG)
-            # round-0 pick outside the loop (pipeline prologue); its
-            # validity key doubles as the dead/converged-group skip
-            bins0, vis0, kp0 = pick_batched(tn, vis0, bt0)
+            if stream:
+                # in-round picks: init key = pre-pick candidate min
+                # (dead/converged-group skip); bins0 never swept
+                bins0 = [[jnp.int32(0)] * k_bins for _ in range(subgroups)]
+                kp0 = jnp.min(jnp.where(tn < bt0, _i32(tn),
+                                        jnp.int32(2**31 - 1)))
+            else:
+                # round-0 pick outside the loop (pipeline prologue); its
+                # validity key doubles as the dead/converged-group skip
+                bins0, vis0, kp0, _kr0 = pick_batched(tn, vis0, bt0)
             init = (kp0, bins0, vis0, bt0,
                     jnp.zeros((128, n_rows), jnp.float32), jnp.int32(0))
             _, _, _, bt, battr, _ = jax.lax.while_loop(cond, body, init)
@@ -446,6 +466,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
             def body(st):
                 _, bins, vis, occ, it = st
+                if stream:
+                    bins, vis, _kp, key_next = pick_batched(
+                        tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
+                    nbins, nvis = bins, vis
                 hs = []
                 if stream:
                     for k in range(min(2, k_bins)):
@@ -462,8 +486,8 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                             sweep_tm(od[j], gat_ref, bins[j][k] * slots,
                                      _sub(tminT, j), _sub(tmaxT, j))
                             for j in range(subgroups)])
-                bins2, vis, key_pre2 = pick_batched(
-                    tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
+                    nbins, nvis, key_next, _kr = pick_batched(
+                        tn, vis, jnp.where(occ > 0.0, -_BIG, tmaxT))
                 cat = (lambda xs: jnp.concatenate(xs, axis=0)
                        if subgroups > 1 else xs[0])
                 hp = cat(hs[0])
@@ -472,12 +496,17 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 # ONE reduce: any slot with masked t < BIG occludes
                 hit_any = jnp.min(hp, axis=1, keepdims=True) < _BIG
                 occ = jnp.maximum(occ, hit_any.astype(jnp.float32) * _BIG)
-                return (key_pre2, bins2, vis, occ, it + 1)
+                return (key_next, nbins, nvis, occ, it + 1)
 
             vis0 = tuple(jnp.zeros((1, c_pad), jnp.float32)
                          for _ in range(subgroups))
             occ0 = jnp.zeros((128, 1), jnp.float32)
-            bins0, vis0, kp0 = pick_batched(tn, vis0, tmaxT)
+            if stream:
+                bins0 = [[jnp.int32(0)] * k_bins for _ in range(subgroups)]
+                kp0 = jnp.min(jnp.where(tn < _BIG, _i32(tn),
+                                        jnp.int32(2**31 - 1)))
+            else:
+                bins0, vis0, kp0, _kr0 = pick_batched(tn, vis0, tmaxT)
             _, _, _, occ, _ = jax.lax.while_loop(
                 cond, body, (kp0, bins0, vis0, occ0, jnp.int32(0)))
             return occ
