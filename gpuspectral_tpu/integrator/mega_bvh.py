@@ -525,7 +525,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             return jnp.where(gcol == g, col_v, M)
 
         giota3 = jax.lax.broadcasted_iota(
-            jnp.int32, (ROWS, n_rows, LANES), 0)
+            jnp.int32, (n_rows, ROWS, LANES), 1)
 
         def closest(o, d, alive):
             """All-group closest hit.  o/d/alive are (ROWS, LANES) shading
@@ -545,18 +545,19 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                     tuple(_colg(x, g) for x in oT),
                     tuple(_colg(x, g) for x in dT),
                     _colg(tmaxT, g))
-                battrT = jnp.transpose(battr)[None]  # (1, n_rows, 128)
+                # assembled directly in plane orientation (attr-major) so
+                # no (ROWS, n_rows, LANES) permute is needed afterwards
+                battrT = jnp.transpose(battr)[:, None, :]  # (n_rows,1,128)
                 aC = jnp.where(giota3 == g, battrT, aC)
                 return (_putg(tC, bt, g), aC)
 
             zc = jnp.zeros((128, ROWS), jnp.float32)
-            aC0 = jnp.zeros((ROWS, n_rows, LANES), jnp.float32)
-            tC, aC = jax.lax.fori_loop(0, ROWS, gbody, (zc + _BIG, aC0))
+            aC0 = jnp.zeros((n_rows, ROWS, LANES), jnp.float32)
+            tC, battrA = jax.lax.fori_loop(0, ROWS, gbody, (zc + _BIG, aC0))
 
             tL = _t(tC)  # (ROWS, LANES)
             tmax_l = jnp.where(alive, _BIG, -_BIG)
             hit = tL < jnp.minimum(tmax_l, _BIG)
-            battrA = jnp.transpose(aC, (1, 0, 2))  # (n_rows, ROWS, 128)
             attrs = tuple(battrA[i] for i in range(n_attr))
             w = tuple(battrA[n_attr + i] for i in range(11))  # woop rows
             ts = jnp.where(hit, tL, 0.0)
