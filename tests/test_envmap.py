@@ -263,3 +263,27 @@ def test_constant_env_fused_matches_wavefront(with_light):
     img_wb = np.asarray(render_image(scene, cfgb))
     img_b = np.asarray(render_mega_bvh(scene, cfgb, 0, interpret=True)[0])
     assert np.allclose(img_wb, img_b, atol=2e-5), np.abs(img_wb - img_b).max()
+
+
+def test_constant_env_eligibility_gates():
+    """Constant-env scenes are fused-eligible but replay-grad-INeligible
+    (the hook's NEE attribution doesn't separate the env strategy)."""
+    from gpuspectral_tpu.integrator.mega import mega_eligible
+    from gpuspectral_tpu.integrator.mega_bvh import mega_bvh_eligible
+    from gpuspectral_tpu.integrator.mega_grad import (
+        mega_bvh_grad_eligible, mega_grad_eligible)
+
+    scene = _env_box_builder(with_light=True)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       ray_batch=256, jitter=False)
+    assert mega_eligible(scene, cfg)
+    assert not mega_grad_eligible(scene, cfg)
+    cfgb = cfg.replace(use_bvh=True)
+    assert mega_bvh_eligible(scene, cfgb)
+    assert not mega_bvh_grad_eligible(scene, cfgb)
+    # a general lat-long map keeps BOTH fused kernels off
+    b = _open_scene_builder()
+    b.set_envmap(np.broadcast_to(np.float32([1, 1, 1]), (4, 8, 3)).copy())
+    wide = b.build()
+    assert not mega_eligible(wide, cfg)
+    assert not mega_bvh_eligible(wide, cfgb)
