@@ -44,11 +44,17 @@ LEAF_SIZE = 16  # slots per leaf (sah mode: real leaves of <= this, padded)
 # 512-slot bins quarter the round count (and quadruple streaming DMA size)
 # for ~20% more swept slots — the right trade when each round pays an HBM
 # round-trip.
-BIN_TARGET = 128  # VMEM-resident scenes (round-5 A/B on staircase2:
+BIN_TARGET = 128  # small VMEM-resident scenes (round-5 A/B on staircase2:
 # 128-slot bins at 8 bins/round beat 256-slot/2 and 512-slot/1 — finer
 # front-to-back culling cuts swept slots faster than the per-round pick
 # overhead grows; tools/bench_kernel_true.py: 74.8 -> 66.1 ms/frame)
-BIN_TARGET_STREAM = 512  # HBM-streaming scenes (table too big for VMEM)
+BIN_TARGET_MID = 256  # large resident scenes (100k+ tris, table <= the
+# measured ~100 MB VMEM budget): the bin count runs to 1-2k, so the
+# per-round candidate scan scales with c_pad and 128-slot bins invert the
+# trade (round-5 A/B on coffee resident, 128^2@2spp d8: 256-slot bins at
+# 2 bins/round = 3.82 Mrays/s vs 3.12 at 512/1 and ~2.6 at 128/8)
+BIN_TARGET_STREAM = 512  # HBM-streaming scenes (table too big for VMEM):
+# fat bins quarter the per-round DMA count at ~128 KB per copy
 
 # Below this many triangles the sah build keeps the triangle arrays dense
 # (fixed-size cuts of the DFS order, no -1 slots): small scenes are served by

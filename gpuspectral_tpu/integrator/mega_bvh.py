@@ -108,7 +108,9 @@ def _subgroups(stream: bool) -> int:
     waste for incoherent deep bounces) shrinks 2.6x from 128-ray to
     32-ray tiles (tools/sim_bins.py at B=32: staircase2 incoh rounds
     53 -> 20).  Streaming scenes keep one subgroup: every picked bin costs
-    an HBM DMA round-trip, which the whole 128-ray group amortizes."""
+    an HBM DMA round-trip, which the whole 128-ray group amortizes.
+    (Fat-bin resident scenes measure the same at 1 or 4 subgroups —
+    coffee A/B round 5: 0.61 vs 0.62 Mrays/s — so one rule serves.)"""
     return 1 if stream else 4
 
 # attr rows: 0-30 as mega._pack_tables, 31 = light-selection pdf of this
@@ -121,9 +123,23 @@ def _subgroups(stream: bool) -> int:
 _NA = 32
 _NA_TEX = 41
 
-# VMEM the scene tables may occupy (woop + attr + bounds + lights); the rest
-# of the ~16 MB core budget goes to the entry matrix and temporaries.
+# Build-time FAT-BIN threshold: scenes whose raw tables exceed this build
+# 512-slot bins (fewer, bigger front-to-back rounds) instead of the
+# 128-slot resident optimum (bvh/build.BIN_TARGET*).  Historically this
+# was also the residency cap under the assumption of ~16 MB usable VMEM;
+# round 5 measured the real limit on hardware (tools/probe_vmem.py: a
+# 120 MB VMEM scratch compiles AND runs on v5e — the 16 MB figure was a
+# compiler-guardrail default, not the hardware), so residency is now
+# governed by MEGA_BVH_RESIDENT_BYTES below.
 MEGA_BVH_TABLE_BYTES = 11 * 1024 * 1024
+
+# Render-time residency cap: keep the merged gather table VMEM-resident up
+# to this size, leaving ~20 MB of the measured ~120 MB budget for the
+# per-group entry matrices, shading planes and compiler temporaries.
+# coffee (51 MB) and living-room (99 MB) fit — removing the per-round
+# HBM DMA round-trips that bound them at ~1.5 Mrays/s through round 5's
+# streaming path (BASELINE.md).
+MEGA_BVH_RESIDENT_BYTES = 100 * 1024 * 1024
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -168,14 +184,25 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
     # round amortizes it; streaming keeps K=2 — K=4 measured 12% SLOWER
     # (over-sweeps the last bins of nearly-converged groups at 512-slot
     # granularity) — with both DMAs started before the first wait so bin
-    # 1 streams fully under bin 0's sweep
-    k_bins = max(1, min(2 if stream else ROUND_SLOTS // slots, n_bins))
+    # 1 streams fully under bin 0's sweep.  Resident: fine 128-slot bins
+    # take ROUND_SLOTS/round (the staircase2 optimum); fatter bins take
+    # 512 slots/round — K=2 at 256 beats K=4/K=1 and K=1 at 512 beats
+    # K=2 (round-5 coffee A/B: 3.82 / 3.70 / 3.64 Mrays/s at 256-slot
+    # K=2/4/1; 3.12 / 2.93 at 512-slot K=1/2) — fat rounds over-sweep
+    # nearly-converged tiles faster than the fold amortization pays.
+    if stream:
+        k = 2
+    elif slots <= 128:
+        k = ROUND_SLOTS // slots
+    else:
+        k = max(1, 512 // slots)
+    k_bins = max(1, min(k, n_bins))
 
     def kernel(pix_ref, bounds_ref, gat_ref, light_ref, cam_ref,
                ts_ref, *rest):
         if grad_cfg:
-            (g_r_ref, g_g_ref, g_b_ref, kd_ref, grads_ref), scratch = (
-                rest[:5], rest[5:])
+            (kd_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
+             part_ref), scratch = (rest[:6], rest[6:])
         else:
             (rad_r_ref, rad_g_ref, rad_b_ref, rays_ref), scratch = (
                 rest[:4], rest[4:])
@@ -640,9 +667,11 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         if grad_cfg:
             from .mega_grad import make_diffuse_grad_hook
 
-            g_pix = (g_r_ref[0], g_g_ref[0], g_b_ref[0])
+            # g_pix=None: accumulate un-contracted gradient partials — the
+            # cotangent contraction happens outside the kernel, so this
+            # single pass IS the whole gradient computation (round 5)
             grad_hook = make_diffuse_grad_hook(
-                list(grad_cfg["rows"]), grad_cfg["n_lights"], g_pix, kd_ref,
+                list(grad_cfg["rows"]), grad_cfg["n_lights"], None, kd_ref,
                 bidx_row=n_attr - 1)
         else:
             grad_hook = None
@@ -696,7 +725,7 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         if has_env:
             state["prev_nee_any"] = zi
         if grad_cfg:
-            from .mega_grad import init_grad_state, reduce_grads_to_lanes
+            from .mega_grad import init_grad_state
 
             init_grad_state(state, zf, zi, len(grad_cfg["rows"]),
                             grad_cfg["n_lights"])
@@ -706,14 +735,16 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
             return (st["it"] < max_iters) & (~jnp.all(exhausted))
 
         state = jax.lax.while_loop(cond, body, state)
+        rad_r_ref[0] = state["rad_r"]
+        rad_g_ref[0] = state["rad_g"]
+        rad_b_ref[0] = state["rad_b"]
+        rays_ref[0] = state["rays"]
         if grad_cfg:
-            grads_ref[0] = reduce_grads_to_lanes(
-                state, len(grad_cfg["rows"]), grad_cfg["n_lights"])
-        else:
-            rad_r_ref[0] = state["rad_r"]
-            rad_g_ref[0] = state["rad_g"]
-            rad_b_ref[0] = state["rad_b"]
-            rays_ref[0] = state["rays"]
+            from .mega_grad import grad_plane_keys
+
+            for p, k in enumerate(grad_plane_keys(
+                    len(grad_cfg["rows"]), grad_cfg["n_lights"])):
+                part_ref[0, p] = state[k]
 
     return kernel
 
@@ -823,11 +854,17 @@ def mega_bvh_table_bytes(scene: SceneData) -> int:
 
 
 def mega_bvh_stream(scene: SceneData) -> bool:
-    """Whether the kernel must stream its tables from HBM (large scenes):
-    the whole woop+attr table no longer fits the VMEM budget, but one bin's
-    rows do — the per-round DMA working set."""
-    return mega_bvh_table_bytes(scene) > MEGA_BVH_TABLE_BYTES
+    """Whether the kernel must stream its tables from HBM (huge scenes):
+    the whole woop+attr table no longer fits the measured VMEM budget, but
+    one bin's rows do — the per-round DMA working set."""
+    return mega_bvh_table_bytes(scene) > MEGA_BVH_RESIDENT_BYTES
 
+
+# Mid-band bin-count cap: bounds the entry-matrix width (c_pad lanes) and
+# the per-round candidate-scan cost for large resident scenes.  2048 bins
+# of 256 slots cover ~520k triangle slots — past the residency budget for
+# any attr layout, so the cap never binds before the byte budget does.
+MEGA_BVH_MID_MAX_BINS = 2048
 
 # streaming-mode caps: one bin's double-buffered, 8-row-padded VMEM scratch
 # (the ACTUAL allocation: 2 buffers x pad8(na + 12 woop rows) x slots x 4 B)
@@ -857,7 +894,7 @@ def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
     if not base:
         return False
-    if mega_bvh_table_bytes(scene) <= MEGA_BVH_TABLE_BYTES:
+    if mega_bvh_table_bytes(scene) <= MEGA_BVH_RESIDENT_BYTES:
         return True
     return (
         _stream_bin_scratch_bytes(scene) <= MEGA_BVH_STREAM_BIN_BYTES
@@ -965,7 +1002,7 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
                                         jnp.int32)],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=118 * 1024 * 1024),
         interpret=interpret,
     )(pix, bounds, gat, light, camv, ts)
 

@@ -1,12 +1,17 @@
-"""Path-replay backward kernel for the brute-force megakernel.
+"""Fused forward+gradient ("fwdgrad") kernels for the megakernels.
 
 The declared metric is grad-steps/s (BASELINE.json); round 2 measured the
 XLA-wavefront gradient at 42x the megakernel forward because the megakernel
-was forward-only.  This module gives `render_mega` a custom_vjp whose
-backward is a SECOND persistent Pallas kernel: it replays every path with
-the same counter-based RNG (ops/rng.py — replay is bit-exact by
-construction, the property path-replay backprop needs; Vicini et al. 2021)
-and accumulates parameter gradients in VMEM planes, reduced once per block.
+was forward-only.  Rounds 2-4 ran path-replay backprop as a SECOND
+persistent Pallas kernel (re-trace with the bit-exact counter RNG,
+ops/rng.py; Vicini et al. 2021).  Round 5 removed the second launch: the
+counting-identity gradient is LINEAR in the per-pixel loss cotangent, so
+the forward kernel itself accumulates un-contracted gradient PARTIALS in
+VMEM planes and emits them alongside radiance; custom_vjp's backward is
+then a single XLA einsum (_contract_partials) instead of a replay launch.
+Measured (staircase2 128^2@8spp d5, slope-timed): the replay backward cost
+the same as a forward (149 ms each), so this halves every gradient step —
+and the sharded step drops from three kernel passes to two.
 
 Scope (gated by `mega_grad_eligible`): diffuse-only scenes — exactly the
 headline Cornell gradient config — with gradients for
@@ -113,8 +118,18 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
     row-b bounces — non-diffuse factors are kd-independent constants.
     Emission gradients are tracked for the first n_grad_lights lights
     (0 disables them: big-light-count scenes get kd-only gradients).
-    bidx_row: attr row holding the hit's bsdf-table index."""
+    bidx_row: attr row holding the hit's bsdf-table index.
+
+    g_pix: per-lane cotangent planes, or None (round 5): the cotangent
+    enters every accumulation LINEARLY, so with g_pix=None the planes
+    accumulate un-contracted per-lane gradient PARTIALS — the forward pass
+    then carries the whole gradient computation and the g contraction
+    happens outside the kernel (one einsum), eliminating the separate
+    replay-backward launch (measured: backward ~= forward, so this halves
+    the gradient step)."""
     b2f = lambda b: jnp.where(b, 1.0, 0.0)  # noqa: E731
+    gs = ((lambda c, x: g_pix[c] * x) if g_pix is not None
+          else (lambda c, x: x))
 
     def grad_hook(st, ctx):
         a = ctx["a"]
@@ -144,8 +159,8 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
                 dfl = ctx["f_light"][c] / jnp.maximum(kd_ref[i, c], _KD_EPS)
                 direct = neem * selb * nee_s * W[c] * ctx["lemit"][c] * dfl
                 suffix = accf * e[c] * nb / jnp.maximum(kd_ref[i, c], _KD_EPS)
-                st[f"gkd_{i}_{c}"] = st[f"gkd_{i}_{c}"] + g_pix[c] * (
-                    direct + suffix)
+                st[f"gkd_{i}_{c}"] = st[f"gkd_{i}_{c}"] + gs(
+                    c, direct + suffix)
             st[f"n_{i}"] = nbi + jnp.where(
                 ctx["cont"] & (bidx == b), 1, 0)
         for li in range(n_grad_lights):
@@ -153,11 +168,11 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
             sel_nee = neem * b2f(ctx["lidx"] == li)
             for c in range(3):
                 # d e/d tri_emission[tri(l), c] (emitter-hit term)
-                st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + (
-                    g_pix[c] * sel_hit * emit_coeff * W[c])
+                st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + gs(
+                    c, sel_hit * emit_coeff * W[c])
                 # d e/d light_emission[l, c] (NEE term)
-                st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + (
-                    g_pix[c] * sel_nee * nee_s * ctx["f_light"][c] * W[c])
+                st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + gs(
+                    c, sel_nee * nee_s * ctx["f_light"][c] * W[c])
         return st
 
     return grad_hook
@@ -174,46 +189,55 @@ def init_grad_state(state, zf, zi, n_rows, n_grad_lights):
             state[f"gle_{li}_{c}"] = zf
 
 
-def reduce_grads_to_lanes(state, n_rows, n_grad_lights):
-    """Block-level reduction of the gradient planes into one (1,128) lane
-    vector: [0,3R) d kd, then 3L tri_emission, then 3L light_emission."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out = jnp.zeros((1, 128), jnp.float32)
-    idx = 0
-    for i in range(n_rows):
-        for c in range(3):
-            out = jnp.where(lane == idx, jnp.sum(state[f"gkd_{i}_{c}"]), out)
-            idx += 1
-    for li in range(n_grad_lights):
-        for c in range(3):
-            out = jnp.where(lane == idx, jnp.sum(state[f"gte_{li}_{c}"]), out)
-            idx += 1
-    for li in range(n_grad_lights):
-        for c in range(3):
-            out = jnp.where(lane == idx, jnp.sum(state[f"gle_{li}_{c}"]), out)
-            idx += 1
-    return out
+def grad_plane_keys(n_rows, n_grad_lights):
+    """Ordered state keys of the per-lane gradient-partial planes the
+    fwdgrad kernels emit: [0, 3R) d kd (row-major b, c), then 3L
+    tri_emission, then 3L light_emission.  Every plane's cotangent channel
+    is its index mod 3 (see _contract_partials)."""
+    keys = [f"gkd_{i}_{c}" for i in range(n_rows) for c in range(3)]
+    keys += [f"gte_{li}_{c}" for li in range(n_grad_lights)
+             for c in range(3)]
+    keys += [f"gle_{li}_{c}" for li in range(n_grad_lights)
+             for c in range(3)]
+    return keys
+
+
+def _contract_partials(parts, gp, R, Lg):
+    """Contract per-lane gradient partials with the loss cotangent.
+
+    parts: (n_blocks, NP, S, LANES) fwdgrad plane outputs (NP = 3R + 6Lg,
+    grad_plane_keys order); gp: (n_blocks, S, LANES, 3) per-lane cotangents
+    of the radiance sums (callers scale/mask).  Returns (d_kd (R,3),
+    d_te_l (Lg,3), d_le (Lg,3))."""
+    NP = 3 * R + 6 * Lg
+    cidx = jnp.asarray(np.arange(NP) % 3, jnp.int32)
+    gsel = jnp.moveaxis(gp, -1, 1)[:, cidx]  # (n_blocks, NP, S, LANES)
+    tot = jnp.sum(parts * gsel, axis=(0, 2, 3))  # (NP,)
+    d_kd = tot[: 3 * R].reshape(R, 3)
+    d_te_l = tot[3 * R: 3 * R + 3 * Lg].reshape(Lg, 3)
+    d_le = tot[3 * R + 3 * Lg:].reshape(Lg, 3)
+    return d_kd, d_te_l, d_le
 
 
 def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
                       n_bsdfs: int):
-    """The replay kernel: mega.py's kernel plus cotangent inputs, gradient
-    planes threaded through the shared bounce body via grad_hook, and a
-    block-level reduction into one output lane-vector.
+    """The fwdgrad kernel: mega.py's kernel with gradient-PARTIAL planes
+    threaded through the shared bounce body via grad_hook (g_pix=None —
+    the cotangent contraction happens outside, see _contract_partials).
+    One pass emits radiance, ray counts AND the partial planes: there is
+    no separate backward launch (round 5; backward measured ~= forward).
 
-    Output entry layout (lane index): [0, 3B) = d kd (row-major b, c);
-    [3B, 3B+3L) = d tri_emission of light l's triangle; [3B+3L, 3B+6L) =
-    d light_emission."""
+    Partial-plane layout: grad_plane_keys(B, L)."""
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
     B, L = n_bsdfs, n_lights
 
     def kernel(pix_ref, woop_ref, attr_ref, light_ref, cam_ref, ts_ref,
-               g_r_ref, g_g_ref, g_b_ref, kd_ref, grads_ref):
+               kd_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
+               part_ref):
         t0 = ts_ref[0, 0]
         pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
-        g_pix = (g_r_ref[:], g_g_ref[:], g_b_ref[:])
         zf = jnp.zeros((SUB, LANES), jnp.float32)
         zi = jnp.zeros((SUB, LANES), jnp.int32)
         oi = jnp.ones((SUB, LANES), jnp.int32)
@@ -320,7 +344,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
                     1.0 / n_lights, lidx)
 
         grad_hook = make_diffuse_grad_hook(
-            list(range(B)), L, g_pix, kd_ref, bidx_row=_NA)
+            list(range(B)), L, None, kd_ref, bidx_row=_NA)
 
         body = make_bounce_body(
             cfg, (BSDF_DIFFUSE,),
@@ -361,26 +385,31 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
 
         state = jax.lax.while_loop(cond, body, state)
 
-        grads_ref[0] = reduce_grads_to_lanes(state, B, L)
+        rad_r_ref[:] = state["rad_r"]
+        rad_g_ref[:] = state["rad_g"]
+        rad_b_ref[:] = state["rad_b"]
+        rays_ref[:] = state["rays"]
+        for p, k in enumerate(grad_plane_keys(B, L)):
+            part_ref[0, p] = state[k]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _mega_backward_blocks(scene: SceneData, cfg: RenderConfig, timestamp0,
-                          pix, gp, interpret: bool = False):
-    """Replay kernel over explicit pixel rows.  pix (rows, LANES) int32;
-    gp (rows, LANES, 3) cotangents of the PER-LANE radiance sums over
-    cfg.spp (callers scale/mask: /spp for mean images, zero for pad
-    lanes).  Returns (d_bsdf_params, d_tri_emission, d_light_emission)
-    summed over the given rows only — the sharded gradient step
-    (parallel/dist.grad_step_sharded_fast) psums these across shards."""
+def _mega_fwdgrad_blocks(scene: SceneData, cfg: RenderConfig, timestamp0,
+                         pix, interpret: bool = False):
+    """Fwdgrad kernel over explicit pixel rows.  pix (rows, LANES) int32.
+    Returns (rad_r, rad_g, rad_b, rays) per-lane sums over cfg.spp, each
+    (rows, LANES), plus partials (n_blocks, NP, SUB, LANES) in
+    grad_plane_keys(B, L) order — contract with the cotangent via
+    _contract_partials."""
     woop_t, attr, light, camv = _pack_tables(scene)
     # appended row: bsdf table index per triangle (the grad scatter key)
     attr = jnp.concatenate(
         [attr, scene.tri_bsdf[None, :].astype(jnp.float32)], axis=0)
     B = scene.bsdf_kind.shape[0]
     L = scene.num_lights
+    NP = 3 * B + 6 * L
     kd = scene.bsdf_params[:, 0:3]
     n_blocks = pix.shape[0] // SUB
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
@@ -388,22 +417,25 @@ def _mega_backward_blocks(scene: SceneData, cfg: RenderConfig, timestamp0,
     kernel = _make_grad_kernel(cfg, scene.num_tris, L, B)
     blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    grads = pl.pallas_call(
+    rowshape = jax.ShapeDtypeStruct((n_blocks * SUB, LANES), jnp.float32)
+    rr, rg, rb, rays, parts = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[blk, smem, smem, smem, smem, smem, blk, blk, blk, smem],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, 128), jnp.float32),
+        in_specs=[blk, smem, smem, smem, smem, smem, smem],
+        out_specs=[blk, blk, blk, blk,
+                   pl.BlockSpec((1, NP, SUB, LANES), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[rowshape, rowshape, rowshape,
+                   jax.ShapeDtypeStruct((n_blocks * SUB, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_blocks, NP, SUB, LANES),
+                                        jnp.float32)],
         interpret=interpret,
-    )(pix, woop_t, attr, light, camv, ts,
-      gp[..., 0], gp[..., 1], gp[..., 2], kd)
+    )(pix, woop_t, attr, light, camv, ts, kd)
+    return rr, rg, rb, rays, parts
 
-    tot = jnp.sum(grads.reshape(n_blocks, 128), axis=0)  # (128,)
-    d_kd = tot[: 3 * B].reshape(B, 3)
-    d_te_l = tot[3 * B: 3 * B + 3 * L].reshape(L, 3)
-    d_le = tot[3 * B + 3 * L: 3 * B + 6 * L].reshape(L, 3)
 
+def _scatter_grads_brute(scene, d_kd, d_te_l, d_le):
+    """Assemble full-shape gradients from the contracted brute partials."""
     d_bp = jnp.zeros_like(scene.bsdf_params).at[:, 0:3].set(d_kd)
     # scatter per-light emitter-hit grads onto each light's triangle(s):
     # lights are per-triangle (Loader.cpp:316-330), but be robust to several
@@ -413,23 +445,23 @@ def _mega_backward_blocks(scene: SceneData, cfg: RenderConfig, timestamp0,
     return d_bp, d_te, d_le
 
 
-def _mega_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
-                   interpret: bool = False):
-    """Full-image replay backward: builds the block layout + mean-image
-    cotangent scaling and runs _mega_backward_blocks."""
+def _brute_pix_rows(cfg):
     n_pixels = cfg.width * cfg.height
     n_blocks = -(-n_pixels // BLOCK)
     padded = n_blocks * BLOCK
     pix = jnp.arange(padded, dtype=jnp.int32)
-    pix = jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES)
-    # cotangent planes; img = rad/spp, so d rad = g/spp.  Padding lanes
-    # re-render pixel 0 — zero their cotangent so they contribute nothing.
+    return (jnp.where(pix < n_pixels, pix, 0).reshape(n_blocks * SUB, LANES),
+            n_pixels, padded)
+
+
+def _brute_gp(cfg, g):
+    """Mean-image cotangent in block layout: img = rad/spp so d rad =
+    g/spp; padding lanes re-render pixel 0 — zero their cotangent."""
+    pix, n_pixels, padded = _brute_pix_rows(cfg)
     gflat = jnp.concatenate(
         [g.reshape(n_pixels, 3) / cfg.spp,
          jnp.zeros((padded - n_pixels, 3), jnp.float32)])
-    gp = gflat.reshape(n_blocks * SUB, LANES, 3)
-    return _mega_backward_blocks(scene, cfg, timestamp0, pix, gp,
-                                 interpret=interpret)
+    return gflat.reshape(-1, SUB, LANES, 3)
 
 
 def _zero_cotangent(tree):
@@ -450,13 +482,26 @@ def _diff_fn(cfg: RenderConfig, interpret: bool):
         return render_mega(sc, cfg, ts, interpret=interpret)[0]
 
     def fwd(bp, te, le, scene_rest, ts):
-        return f(bp, te, le, scene_rest, ts), (bp, te, le, scene_rest, ts)
-
-    def bwd(res, g):
-        bp, te, le, scene_rest, ts = res
+        # ONE fwdgrad pass yields the image AND the gradient partials
+        # (round 5): no separate replay-backward launch remains.
         sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
                                 light_emission=le)
-        d_bp, d_te, d_le = _mega_backward(sc, cfg, ts, g, interpret=interpret)
+        pix, n_pixels, _ = _brute_pix_rows(cfg)
+        rr, rg, rb, _rays, parts = _mega_fwdgrad_blocks(
+            sc, cfg, ts, pix, interpret=interpret)
+        rad = jnp.stack([x.reshape(-1)[:n_pixels] for x in (rr, rg, rb)],
+                        axis=-1)
+        img = (rad / cfg.spp).reshape(cfg.height, cfg.width, 3)
+        return img, (scene_rest, parts, ts)
+
+    def bwd(res, g):
+        scene_rest, parts, ts = res
+        B = scene_rest.bsdf_kind.shape[0]
+        L = scene_rest.num_lights
+        d_kd, d_te_l, d_le = _contract_partials(
+            parts, _brute_gp(cfg, g), B, L)
+        d_bp, d_te, d_le = _scatter_grads_brute(
+            scene_rest, d_kd, d_te_l, d_le)
         return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
                 np.zeros(jnp.shape(ts), jax.dtypes.float0))
 
@@ -506,14 +551,16 @@ def mega_bvh_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
 
 @partial(jax.jit, static_argnames=("cfg", "grad_rows", "n_grad_lights",
                                    "interpret"))
-def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
-                              timestamp0, pix, gp, grad_rows: tuple,
-                              n_grad_lights: int, interpret: bool = False):
-    """Fused-BVH replay kernel over explicit pixel blocks.  pix
-    (n_blocks, ROWS, LANES) int32; gp (n_blocks, ROWS, LANES, 3)
-    cotangents of the PER-LANE radiance sums over cfg.spp (callers scale
-    for mean images and zero pad lanes).  Returns (d_bsdf_params,
-    d_tri_emission, d_light_emission) summed over the given blocks."""
+def _mega_bvh_fwdgrad_blocks(scene: SceneData, cfg: RenderConfig,
+                             timestamp0, pix, grad_rows: tuple,
+                             n_grad_lights: int, interpret: bool = False):
+    """Fused-BVH fwdgrad kernel over explicit pixel blocks.  pix
+    (n_blocks, ROWS, LANES) int32.  Returns (rad_r, rad_g, rad_b, rays)
+    per-lane sums over cfg.spp, each (n_blocks, ROWS, LANES), plus
+    partials (n_blocks, NP, ROWS, LANES) in grad_plane_keys order — one
+    pass carries both the render and the whole gradient computation
+    (round 5: the replay backward measured ~= a forward, and the
+    cotangent enters linearly, so contracting outside halves the step)."""
     from .mega_bvh import (
         _NA as NA_BVH, _NA_TEX as NA_TEX_BVH, LANES as B_LANES, ROWS,
         _make_kernel as _make_bvh_kernel, _pack_tables_bvh,
@@ -529,6 +576,7 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
     assert gat.shape[1 if stream else 0] == n_rows
     R = len(grad_rows)
     L = scene.num_lights
+    NP = 3 * R + 6 * n_grad_lights
     kd = scene.bsdf_params[jnp.asarray(grad_rows), 0:3]
     n_blocks = pix.shape[0]
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
@@ -551,30 +599,38 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
         nbuf = 2
         scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
                    + [pltpu.SemaphoreType.DMA] * nbuf)
-    grads = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((n_blocks, ROWS, B_LANES), jnp.float32)
+    rr, rg, rb, rays, parts = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[blk, full(bounds),
                   hbm if stream else full(gat),
-                  full(light), smem, smem, blk, blk, blk, smem],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, 128), jnp.float32),
+                  full(light), smem, smem, smem],
+        out_specs=[blk, blk, blk, blk,
+                   pl.BlockSpec((1, NP, ROWS, B_LANES),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[out_shape, out_shape, out_shape,
+                   jax.ShapeDtypeStruct((n_blocks, ROWS, B_LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((n_blocks, NP, ROWS, B_LANES),
+                                        jnp.float32)],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=118 * 1024 * 1024),
         interpret=interpret,
-    )(pix, bounds, gat, light, camv, ts,
-      gp[..., 0], gp[..., 1], gp[..., 2], kd)
+    )(pix, bounds, gat, light, camv, ts, kd)
+    return rr, rg, rb, rays, parts
 
-    tot = jnp.sum(grads.reshape(n_blocks, 128), axis=0)  # (128,)
-    d_kd = tot[: 3 * R].reshape(R, 3)
+
+def _scatter_grads_bvh(scene, grad_rows, n_grad_lights, d_kd, d_te_l,
+                       d_le_g):
+    """Assemble full-shape gradients from the contracted BVH partials."""
+    L = scene.num_lights
+    Lg = n_grad_lights
     d_bp = jnp.zeros_like(scene.bsdf_params)
     d_bp = d_bp.at[jnp.asarray(grad_rows), 0:3].set(d_kd)
-    Lg = n_grad_lights
     if Lg:
-        d_te_l = tot[3 * R: 3 * R + 3 * Lg].reshape(Lg, 3)
-        d_le_g = tot[3 * R + 3 * Lg: 3 * R + 6 * Lg].reshape(Lg, 3)
         d_te_l = jnp.concatenate(
             [d_te_l, jnp.zeros((L - Lg, 3), jnp.float32)])
         d_le = jnp.concatenate(
@@ -587,33 +643,25 @@ def _mega_bvh_backward_blocks(scene: SceneData, cfg: RenderConfig,
     return d_bp, d_te, d_le
 
 
-def _mega_bvh_backward(scene: SceneData, cfg: RenderConfig, timestamp0, g,
-                       grad_rows: tuple, n_grad_lights: int,
-                       interpret: bool = False):
-    """Full-image fused-BVH replay backward: builds the block layout +
-    mean-image cotangent scaling and runs _mega_bvh_backward_blocks."""
-    from .mega_bvh import (
-        LANES as B_LANES, ROWS, _pix_blocks, mega_bvh_stream)
+def _bvh_gp(scene, cfg, g):
+    """Mean-image cotangent in BVH block layout (img = rad/spp; invalid
+    pad lanes re-render real pixels — zero their cotangent)."""
+    from .mega_bvh import LANES as B_LANES, ROWS, _pix_blocks, \
+        mega_bvh_stream
 
     n_pixels = cfg.width * cfg.height
     pix_np, valid = _pix_blocks(cfg, mega_bvh_stream(scene))
     pix = jnp.asarray(pix_np)
-    n_blocks = pix.shape[0]
-    # cotangent planes in block layout; img = rad/spp so d rad = g/spp.
-    # Invalid (pad) lanes re-render real pixels — zero their cotangent.
     gflat = g.reshape(n_pixels, 3) / cfg.spp
     gp = gflat[pix.reshape(-1)] * jnp.asarray(
         valid.reshape(-1, 1), jnp.float32)
-    gp = gp.reshape(n_blocks, ROWS, B_LANES, 3)
-    return _mega_bvh_backward_blocks(scene, cfg, timestamp0, pix, gp,
-                                     grad_rows, n_grad_lights,
-                                     interpret=interpret)
+    return gp.reshape(pix.shape[0], ROWS, B_LANES, 3)
 
 
 @lru_cache(maxsize=None)
 def _diff_fn_bvh(cfg: RenderConfig, grad_rows: tuple, n_grad_lights: int,
                  interpret: bool):
-    from .mega_bvh import render_mega_bvh
+    from .mega_bvh import _pix_blocks, mega_bvh_stream, render_mega_bvh
 
     @jax.custom_vjp
     def f(bp, te, le, scene_rest, ts):
@@ -622,14 +670,30 @@ def _diff_fn_bvh(cfg: RenderConfig, grad_rows: tuple, n_grad_lights: int,
         return render_mega_bvh(sc, cfg, ts, interpret=interpret)[0]
 
     def fwd(bp, te, le, scene_rest, ts):
-        return f(bp, te, le, scene_rest, ts), (bp, te, le, scene_rest, ts)
-
-    def bwd(res, g):
-        bp, te, le, scene_rest, ts = res
+        # ONE fwdgrad pass yields the image AND the gradient partials
+        # (round 5): no separate replay-backward launch remains.
         sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
                                 light_emission=le)
-        d_bp, d_te, d_le = _mega_bvh_backward(
-            sc, cfg, ts, g, grad_rows, n_grad_lights, interpret=interpret)
+        n_pixels = cfg.width * cfg.height
+        pix_np, valid = _pix_blocks(cfg, mega_bvh_stream(sc))
+        pix = jnp.asarray(pix_np)
+        rr, rg, rb, _rays, parts = _mega_bvh_fwdgrad_blocks(
+            sc, cfg, ts, pix, grad_rows, n_grad_lights,
+            interpret=interpret)
+        pix_flat = pix.reshape(-1)
+        scatter = lambda x: (  # noqa: E731
+            jnp.zeros((n_pixels,), x.dtype).at[pix_flat].set(x.reshape(-1)))
+        rad = jnp.stack([scatter(rr), scatter(rg), scatter(rb)], axis=-1)
+        img = (rad / cfg.spp).reshape(cfg.height, cfg.width, 3)
+        return img, (scene_rest, parts, ts)
+
+    def bwd(res, g):
+        scene_rest, parts, ts = res
+        d_kd, d_te_l, d_le_g = _contract_partials(
+            parts, _bvh_gp(scene_rest, cfg, g), len(grad_rows),
+            n_grad_lights)
+        d_bp, d_te, d_le = _scatter_grads_bvh(
+            scene_rest, grad_rows, n_grad_lights, d_kd, d_te_l, d_le_g)
         return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
                 np.zeros(jnp.shape(ts), jax.dtypes.float0))
 
@@ -707,21 +771,37 @@ def _diff_fn_blocks(cfg: RenderConfig, bvh: bool, grad_rows: tuple,
         return jnp.stack([rr, rg, rb], axis=-1)
 
     def fwd(bp, te, le, scene_rest, pix, ts):
-        return f(bp, te, le, scene_rest, pix, ts), (bp, te, le, scene_rest,
-                                                    pix, ts)
-
-    def bwd(res, g):
-        bp, te, le, scene_rest, pix, ts = res
+        # ONE fwdgrad pass per shard: radiance + gradient partials
+        # (round 5); the bwd contracts the partials with the cotangent.
         sc = scene_rest.replace(bsdf_params=bp, tri_emission=te,
                                 light_emission=le)
         if bvh:
-            d_bp, d_te, d_le = _mega_bvh_backward_blocks(
-                sc, cfg, ts, pix, g, grad_rows, n_grad_lights,
+            rr, rg, rb, _rays, parts = _mega_bvh_fwdgrad_blocks(
+                sc, cfg, ts, pix, grad_rows, n_grad_lights,
                 interpret=interpret)
         else:
-            d_bp, d_te, d_le = _mega_backward_blocks(
-                sc, cfg, ts, pix.reshape(-1, LANES),
-                g.reshape(-1, LANES, 3), interpret=interpret)
+            shp = pix.shape
+            rr, rg, rb, _rays, parts = _mega_fwdgrad_blocks(
+                sc, cfg, ts, pix.reshape(-1, LANES), interpret=interpret)
+            rr, rg, rb = (x.reshape(shp) for x in (rr, rg, rb))
+        out = jnp.stack([rr, rg, rb], axis=-1)
+        return out, (scene_rest, parts, pix, ts)
+
+    def bwd(res, g):
+        scene_rest, parts, pix, ts = res
+        if bvh:
+            d_kd, d_te_l, d_le_g = _contract_partials(
+                parts, g, len(grad_rows), n_grad_lights)
+            d_bp, d_te, d_le = _scatter_grads_bvh(
+                scene_rest, grad_rows, n_grad_lights, d_kd, d_te_l,
+                d_le_g)
+        else:
+            B = scene_rest.bsdf_kind.shape[0]
+            L = scene_rest.num_lights
+            d_kd, d_te_l, d_le = _contract_partials(
+                parts, g.reshape(parts.shape[0], SUB, LANES, 3), B, L)
+            d_bp, d_te, d_le = _scatter_grads_brute(
+                scene_rest, d_kd, d_te_l, d_le)
         return (d_bp, d_te, d_le, _zero_cotangent(scene_rest),
                 np.zeros(jnp.shape(pix), jax.dtypes.float0),
                 np.zeros(jnp.shape(ts), jax.dtypes.float0))

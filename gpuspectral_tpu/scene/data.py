@@ -275,31 +275,50 @@ def build_scene(b: SceneBuilder) -> SceneData:
     # permutation is slot-based: every leaf owns exactly leaf_size slots and
     # unused slots (-1) become degenerate never-hit triangles, so leaf AABBs
     # stay as tight as the real SAH leaves (bvh/build.py).
-    from ..bvh.build import BIN_TARGET, BIN_TARGET_STREAM, build_bvh
+    from ..bvh.build import (
+        BIN_TARGET, BIN_TARGET_MID, BIN_TARGET_STREAM, build_bvh)
 
-    # Bin size by expected residency: scenes whose fused-kernel tables cannot
-    # fit the VMEM budget even at perfect slot fill will stream bins from HBM
-    # per traversal round — those want fat bins (fewer DMA round-trips, each
-    # moving ~128 KB instead of ~32 KB).  VMEM-resident scenes keep finer
-    # bins for tighter per-ray culling.  Constants from the kernel module
-    # (lazy import: integrator.mega_bvh imports this module).
+    # Bin size in three bands by fused-kernel table size (round-5 A/Bs,
+    # bvh/build.py constants):
+    #   fine 128-slot — small resident scenes: tight per-ray front-to-back
+    #     culling wins while the bin count (and so the per-round candidate
+    #     scan, which scales with the entry-matrix width c_pad) stays small;
+    #   mid 256-slot — large resident scenes (coffee/living-room class, up
+    #     to the ~100 MB VMEM residency budget measured by
+    #     tools/probe_vmem.py): 1-2k bins make wide pick scans real money,
+    #     and 256-slot bins balance scan width against culling granularity
+    #     (coffee: 3.82 Mrays/s vs 3.12 fat / ~2.6 fine);
+    #   fat 512-slot — HBM-streaming scenes beyond the residency budget:
+    #     fewer per-round DMA round-trips at ~128 KB per copy.
+    # Constants from the kernel module (lazy import: integrator.mega_bvh
+    # imports this module).
     from ..integrator.mega_bvh import (
-        _NA, _NA_TEX, MEGA_BVH_TABLE_BYTES, table_bytes_for)
+        _NA, _NA_TEX, MEGA_BVH_RESIDENT_BYTES, MEGA_BVH_TABLE_BYTES,
+        table_bytes_for)
 
     na = _NA_TEX if b.textures else _NA
     n_lights_est = max(1, sum(x.shape[0] for x in b.light_pos))
-    stream_likely = 4 * num_tris * (12 + na) > MEGA_BVH_TABLE_BYTES
-    bin_target = BIN_TARGET_STREAM if stream_likely else BIN_TARGET
+    raw_bytes = 4 * num_tris * (12 + na)
 
     from ..bvh.binned import MAX_BINS, build_bins
-    from ..integrator.mega_bvh import MEGA_BVH_STREAM_MAX_BINS
+    from ..integrator.mega_bvh import (
+        MEGA_BVH_MID_MAX_BINS, MEGA_BVH_STREAM_MAX_BINS)
 
-    def _bvh_and_bins(streaming: bool):
-        tgt = BIN_TARGET_STREAM if streaming else BIN_TARGET
-        # named caps (not literals — ADVICE r3): resident scenes bound the
-        # bin count by the vote/entry-matrix width budget; streaming scenes
-        # by the streaming kernel's bin-table cap
-        mx = MEGA_BVH_STREAM_MAX_BINS if streaming else MAX_BINS
+    # named caps (not literals — ADVICE r3): fine/mid bound the bin count
+    # by their entry-matrix width budgets; fat by the streaming kernel's
+    # bin-table cap.  A band's padded table may overflow its byte budget
+    # (slot-fill slack the raw estimate can't see) — then drop a band and
+    # rebuild, so bin sizing always matches the render-time residency
+    # decision (ADVICE r4).
+    _BANDS = (
+        ("fine", BIN_TARGET, MAX_BINS, MEGA_BVH_TABLE_BYTES),
+        ("mid", BIN_TARGET_MID, MEGA_BVH_MID_MAX_BINS,
+         MEGA_BVH_RESIDENT_BYTES),
+        ("fat", BIN_TARGET_STREAM, MEGA_BVH_STREAM_MAX_BINS, None),
+    )
+
+    def _bvh_and_bins(band_i: int):
+        _, tgt, mx, _ = _BANDS[band_i]
         tree = build_bvh(pos, num_tris, bin_target=tgt)
         bounds, nb, ns = build_bins(
             tree.node_min, tree.node_max, tree.n_clusters,
@@ -308,16 +327,14 @@ def build_scene(b: SceneBuilder) -> SceneData:
         )
         return tree, bounds, nb, ns
 
-    bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(stream_likely)
-    if not stream_likely and num_tris > 0 and table_bytes_for(
-            n_bins, bin_slots, na, n_lights_est) > MEGA_BVH_TABLE_BYTES:
-        # boundary scenes: the raw-triangle estimate said "resident" but the
-        # PADDED slot table (what the render-time mega_bvh_stream decision
-        # actually measures) exceeds the budget — rebuild with the
-        # streaming-fat bin layout so the per-round DMAs run at the size
-        # they were designed for (ADVICE r4)
-        stream_likely = True
-        bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(True)
+    band_i = next(i for i, (_, _, _, cap) in enumerate(_BANDS)
+                  if cap is None or raw_bytes <= cap)
+    bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(band_i)
+    while (_BANDS[band_i][3] is not None and num_tris > 0
+           and table_bytes_for(n_bins, bin_slots, na, n_lights_est)
+           > _BANDS[band_i][3]):
+        band_i += 1
+        bvh, bin_bounds, n_bins, bin_slots = _bvh_and_bins(band_i)
 
     perm = bvh.perm
     slots = perm.shape[0]

@@ -113,7 +113,7 @@ def test_streaming_mode_bitwise_matches_resident(monkeypatch):
     monkeypatch.setattr(mb, "_subgroups", lambda stream: 1)
     render_mega_bvh.clear_cache()  # drop any 4-subgroup compilation
     resident = np.asarray(render_mega_bvh(scene, cfg, 0, interpret=True)[0])
-    monkeypatch.setattr(mb, "MEGA_BVH_TABLE_BYTES", 1)
+    monkeypatch.setattr(mb, "MEGA_BVH_RESIDENT_BYTES", 1)
     assert mb.mega_bvh_stream(scene)
     assert mb.mega_bvh_eligible(scene, cfg)
     # the jit cache would otherwise serve the resident-compiled program

@@ -63,7 +63,8 @@ def main():
         import gpuspectral_tpu.bvh.build as bd
 
         bd.BIN_TARGET = int(sys.argv[5])
-        print(f"BIN_TARGET={bd.BIN_TARGET}")
+        bd.BIN_TARGET_STREAM = int(sys.argv[5])
+        print(f"BIN_TARGET(_STREAM)={bd.BIN_TARGET}")
     if len(sys.argv) > 6:
         mb.ROUND_SLOTS = int(sys.argv[6])
         print(f"ROUND_SLOTS={mb.ROUND_SLOTS}")

@@ -16,9 +16,12 @@ from gpuspectral_tpu.scene import load_mitsuba_scene
 from gpuspectral_tpu.utils import RenderConfig
 from tools.bench_kernel_true import frame_time
 
-scene, _ = load_mitsuba_scene("/root/reference/src/GPUSpectral/assets/scenes/staircase2/scene.xml")
+_name = sys.argv[1] if len(sys.argv) > 1 else "staircase2"
+scene, _ = load_mitsuba_scene(
+    f"/root/reference/src/GPUSpectral/assets/scenes/{_name}/scene.xml")
 cfg = RenderConfig(width=128, height=128, spp=2, max_depth=8, ray_batch=128*128,
                    use_bvh=True, jitter=False, light_sampling="power", mis_mode="exact")
+_N_ATTR = (mb._NA_TEX if scene.has_textures else mb._NA)
 orig_body = mb.make_bounce_body
 
 def run(tag, patch=None):
@@ -32,7 +35,7 @@ def stub_traversal(cfg_, present, **kw):
         t = jnp.where(alive, 1.0, 1e30)
         z = jnp.zeros_like(t)
         attrs = [z + (1.0 if i in (2, 5, 8, 29, 30) else (0.5 if i in (15, 16, 17) else 0.0))
-                 for i in range(56)]
+                 for i in range(_N_ATTR)]
         return t, alive, z, z, tuple(attrs)
     kw["closest"] = cheap_closest
     kw["any_hit"] = lambda o, d, tmin, tmax, act: jnp.zeros_like(act)
@@ -48,7 +51,7 @@ def stub_all_and_light(cfg_, present, **kw):
         t = jnp.where(alive, 1.0, 1e30)
         z = jnp.zeros_like(t)
         attrs = [z + (1.0 if i in (2, 5, 8, 29, 30) else (0.5 if i in (15, 16, 17) else 0.0))
-                 for i in range(56)]
+                 for i in range(_N_ATTR)]
         return t, alive, z, z, tuple(attrs)
     kw["closest"] = cheap_closest
     def cheap_light(seed, bounce):
