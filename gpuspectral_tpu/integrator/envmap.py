@@ -12,14 +12,50 @@ Mapping follows Mitsuba's equirectangular convention (Y-up):
     u  = (1 + atan2(d'.x, -d'.z) / pi) / 2
     v  = acos(clamp(d'.y)) / pi
 
-Bilinear filtering with wrap addressing in u and clamp in v.  The lookup is a
-gather per miss lane; envmap scenes run on the XLA wavefront path (the Pallas
-megakernel is scoped to SMEM-resident closed scenes where misses cannot occur).
+Bilinear filtering with wrap addressing in u and clamp in v.  On the XLA
+wavefront the lookup is a gather per miss lane; the fused Pallas megakernels
+shade constant emitters from SMEM scalars and small lat-long maps
+(<= mega.MEGA_ENV_MAX_TEXELS texels) through one-hot MXU contractions over a
+texel table (mega._pack_env_table / make_env_tab_fns) — bigger maps fall
+back to the wavefront.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def acos_fast(x):
+    """Mosaic-lowerable arccos (Abramowitz & Stegun 4.4.45 polynomial,
+    |err| <= 6.8e-5 rad — far below a texel at any practical map size).
+
+    None of arccos/arcsin/arctan lower in Pallas TPU (probed round 5), so
+    the env mapping uses THIS implementation on BOTH the XLA wavefront and
+    the fused kernels: texel decisions agree across paths and interpret-
+    mode parity tests hold bitwise."""
+    ax = jnp.abs(x)
+    p = jnp.float32(-0.0187293)
+    p = p * ax + jnp.float32(0.0742610)
+    p = p * ax - jnp.float32(0.2121144)
+    p = p * ax + jnp.float32(1.5707288)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0.0, jnp.float32(jnp.pi) - r, r)
+
+
+def _dir_uv(ex, ey, ez):
+    """(u, v) lat-long coordinates of an env-space direction.
+
+    The azimuth uses sign(ex) * arccos(-ez / r) instead of
+    atan2(ex, -ez): identical a.e. (ex == 0 resolves to the same 0 / pi
+    branch), and the shared polynomial arccos lowers in Mosaic while
+    atan2 does not — the fused kernels run this exact op sequence, so
+    interpret-mode parity tests hold bitwise."""
+    r = jnp.sqrt(ex * ex + ez * ez)
+    c = jnp.clip(-ez / jnp.maximum(r, 1e-20), -1.0, 1.0)
+    phi = jnp.where(ex < 0.0, -1.0, 1.0) * acos_fast(c)
+    u = (1.0 + phi / jnp.pi) * 0.5
+    v = acos_fast(jnp.clip(ey, -1.0, 1.0)) / jnp.pi
+    return u, v
 
 
 def eval_envmap(envmap, rot, direction):
@@ -39,8 +75,7 @@ def eval_envmap(envmap, rot, direction):
     ey = rot[1, 0] * dx + rot[1, 1] * dy + rot[1, 2] * dz
     ez = rot[2, 0] * dx + rot[2, 1] * dy + rot[2, 2] * dz
 
-    u = (1.0 + jnp.arctan2(ex, -ez) / jnp.pi) * 0.5
-    v = jnp.arccos(jnp.clip(ey, -1.0, 1.0)) / jnp.pi
+    u, v = _dir_uv(ex, ey, ez)
 
     # continuous texel coordinates, texel centers at half-integers
     fx = u * w - 0.5
@@ -94,11 +129,19 @@ def sample_envmap(envmap, rot, cdf, pdf_map, u1, u2):
     c0 = jnp.cos(jnp.pi * y.astype(jnp.float32) / h)
     c1 = jnp.cos(jnp.pi * (y.astype(jnp.float32) + 1.0) / h)
     cos_t = c0 + jv * (c1 - c0)
-    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
-    st = jnp.sin(theta)
-    e = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1)
-    # env->world: rot is world->env, orthonormal, so inverse = transpose
-    d = e @ rot  # == (rot.T @ e.T).T
+    # cos/sin of theta via identities instead of arccos-then-sin/cos:
+    # exact where it matters and Mosaic-lowerable (see acos_fast note)
+    ct = jnp.clip(cos_t, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    e0, e1, e2 = st * jnp.sin(phi), ct, -st * jnp.cos(phi)
+    # env->world: rot is world->env, orthonormal, so inverse = transpose.
+    # Explicit products in a fixed order (not a matmul) so the fused
+    # kernels reproduce the direction bitwise in interpret mode.
+    d = jnp.stack([
+        e0 * rot[0, 0] + e1 * rot[1, 0] + e2 * rot[2, 0],
+        e0 * rot[0, 1] + e1 * rot[1, 1] + e2 * rot[2, 1],
+        e0 * rot[0, 2] + e1 * rot[1, 2] + e2 * rot[2, 2],
+    ], axis=-1)
     pdf = pdf_map.reshape(-1)[idx]
     return d, pdf
 
@@ -111,8 +154,7 @@ def envmap_pdf(pdf_map, rot, direction):
     ex = rot[0, 0] * dx + rot[0, 1] * dy + rot[0, 2] * dz
     ey = rot[1, 0] * dx + rot[1, 1] * dy + rot[1, 2] * dz
     ez = rot[2, 0] * dx + rot[2, 1] * dy + rot[2, 2] * dz
-    u = (1.0 + jnp.arctan2(ex, -ez) / jnp.pi) * 0.5
-    v = jnp.arccos(jnp.clip(ey, -1.0, 1.0)) / jnp.pi
+    u, v = _dir_uv(ex, ey, ez)
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     return pdf_map.reshape(-1)[y * w + x]

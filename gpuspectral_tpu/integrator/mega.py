@@ -590,6 +590,86 @@ def _eval_bsdf_soa(present, p, kind, wo, wi):
 # Table packing (device-side, jit-traceable)
 # ---------------------------------------------------------------------------
 
+# Largest lat-long envmap the fused kernels shade in-kernel (texels).  Every
+# env lookup is a one-hot contraction over the texel rows (~13 per bounce:
+# CDF sample + 2 bilinear evals + nearest pdf), so the compare cost scales
+# with the row count; 2048 rows (a 32x64 map) adds ~30 us per 1024-ray
+# bounce iteration.  Bigger maps fall back to the XLA wavefront.
+MEGA_ENV_MAX_TEXELS = 2048
+
+
+def _pack_env_table(scene: SceneData):
+    """(N8, 10) f32 texel table for the fused kernels' env closures.
+
+    cols: 0-2 radiance rgb, 3 solid-angle pdf, 4 cdf_hi_cmp, 5 cdf_lo_cmp,
+    6 cdf_hi_true, 7 cdf_lo_true, 8 texel x, 9 texel y.  The compare
+    columns make `(u > lo_cmp) & (u <= hi_cmp)` reproduce
+    `clip(searchsorted(cdf, u, 'left'), 0, n-1)` exactly (run-of-equal
+    cdf values select the first row, overflow selects the last); the true
+    columns carry the residual-rescale bounds of envmap.sample_envmap.
+    Pad rows can never be selected (hi_cmp = lo_cmp = -3)."""
+    h, w = scene.envmap.shape[:2]
+    n = h * w
+    f32 = jnp.float32
+    flat = scene.envmap.reshape(n, 3).astype(f32)
+    pdf = scene.envmap_pdf.reshape(n).astype(f32)
+    cdf = scene.envmap_cdf.reshape(n).astype(f32)
+    hi_cmp = jnp.concatenate([cdf[:-1], jnp.asarray([2.0], f32)])
+    lo_cmp = jnp.concatenate([jnp.asarray([-1.0], f32), cdf[:-1]])
+    lo_true = jnp.concatenate([jnp.asarray([0.0], f32), cdf[:-1]])
+    xs = (jnp.arange(n) % w).astype(f32)
+    ys = (jnp.arange(n) // w).astype(f32)
+    tab = jnp.concatenate(
+        [flat, pdf[:, None], hi_cmp[:, None], lo_cmp[:, None],
+         cdf[:, None], lo_true[:, None], xs[:, None], ys[:, None]], axis=1)
+    n8 = -(-n // 8) * 8
+    if n8 > n:
+        pad = jnp.zeros((n8 - n, 10), f32).at[:, 4:6].set(-3.0)
+        tab = jnp.concatenate([tab, pad], axis=0)
+    return tab
+
+
+def make_env_tab_fns(env_ref, h: int, w: int):
+    """Kernel-side env-table closures over a VMEM (N8, 10) table ref.
+
+    All lookups are one-hot MXU contractions (exact: a one-hot matmul sums
+    exactly one bf16x3-split f32 term).  Returns dict(sample, rgb, pdf,
+    h, w) consumed by make_bounce_body's image-env branches."""
+    n8 = env_ref.shape[0]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (n8, 1), 0)
+
+    def _per_group(u_or_idx, build_oh, cols, ncol):
+        outs = []
+        for g in range(u_or_idx.shape[0]):
+            oh = build_oh(u_or_idx[g:g + 1, :]).astype(jnp.float32)
+            outs.append(jax.lax.dot_general(
+                env_ref[:, cols:cols + ncol], oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32))
+        return jnp.stack(outs, axis=1)  # (ncol, S, 128)
+
+    hi_cmp = env_ref[:, 4:5]
+    lo_cmp = env_ref[:, 5:6]
+
+    def sample(u1):
+        """CDF inversion of the (S,128) uniforms: texel pdf / residual
+        bounds / coordinates (envmap.sample_envmap's idx/lo/hi/x/y)."""
+        v = _per_group(
+            u1, lambda ug: (ug > lo_cmp) & (ug <= hi_cmp), 3, 7)
+        return dict(pdf=v[0], hi=v[3], lo=v[4], x=v[5], y=v[6])
+
+    def rgb(idx):
+        """Radiance of per-lane flat texel indices (int32 planes)."""
+        v = _per_group(idx, lambda ig: riota == ig, 0, 3)
+        return v[0], v[1], v[2]
+
+    def pdf(idx):
+        v = _per_group(idx, lambda ig: riota == ig, 3, 1)
+        return v[0]
+
+    return dict(sample=sample, rgb=rgb, pdf=pdf, h=h, w=w)
+
 
 def _pack_tables(scene: SceneData):
     """Build the SMEM-resident scene tables.
@@ -691,6 +771,54 @@ def _uniform_mod(bits, n: int):
     return r.astype(jnp.int32)
 
 
+def _env_eval_tab(tab, rot, d, want_pdf: bool):
+    """Lat-long environment lookup on (S, LANES) direction planes: bilinear
+    radiance (+ nearest-texel pdf when want_pdf) through the env-table
+    closures of make_env_tab_fns.  Reproduces envmap.eval_envmap /
+    envmap_pdf op-for-op (the azimuth uses the shared arccos form,
+    envmap._dir_uv — atan2 does not lower in Mosaic)."""
+    from .envmap import acos_fast
+
+    h, w = tab["h"], tab["w"]
+    dx, dy, dz = d
+    ex = rot[0] * dx + rot[1] * dy + rot[2] * dz
+    ey = rot[3] * dx + rot[4] * dy + rot[5] * dz
+    ez = rot[6] * dx + rot[7] * dy + rot[8] * dz
+    r = jnp.sqrt(ex * ex + ez * ez)
+    c = jnp.clip(-ez / jnp.maximum(r, 1e-20), -1.0, 1.0)
+    phi = jnp.where(ex < 0.0, -1.0, 1.0) * acos_fast(c)
+    u = (1.0 + phi / M_PI) * 0.5
+    v = acos_fast(jnp.clip(ey, -1.0, 1.0)) / M_PI
+
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    # u in [0,1] puts x0 in [-1, w-1]: one-step wrap == jnp.mod here
+    x0i = x0 + jnp.where(x0 < 0.0, float(w), 0.0)
+    x1i = x0i + 1.0
+    x1i = jnp.where(x1i >= w, x1i - w, x1i)
+    y0c = jnp.clip(y0, 0.0, h - 1.0)
+    y1c = jnp.clip(y0 + 1.0, 0.0, h - 1.0)
+    toi = lambda a: a.astype(jnp.int32)  # noqa: E731
+    c00 = tab["rgb"](toi(y0c * w + x0i))
+    c01 = tab["rgb"](toi(y0c * w + x1i))
+    c10 = tab["rgb"](toi(y1c * w + x0i))
+    c11 = tab["rgb"](toi(y1c * w + x1i))
+    out = tuple(
+        (c00[k] * (1.0 - tx) + c01[k] * tx) * (1.0 - ty)
+        + (c10[k] * (1.0 - tx) + c11[k] * tx) * ty
+        for k in range(3))
+    pdfv = None
+    if want_pdf:
+        xn = jnp.clip(jnp.floor(u * w), 0.0, w - 1.0)
+        yn = jnp.clip(jnp.floor(v * h), 0.0, h - 1.0)
+        pdfv = tab["pdf"](toi(yn * w + xn))
+    return out, pdfv
+
+
 def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                      pick_light, sel_pdf_of_hit, fresh, pix, spp,
                      modulate=None, sync_regen: bool = False,
@@ -708,13 +836,14 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
                                (uniform: 1/n_lights; power: baked attr row)
       fresh(sample) -> (o, d, seed)  per-pixel ray regeneration
       modulate(p, attrs, bu, bv) -> p   albedo modulation hook (textures)
-      env: constant-environment emitter (1x1 map; the capability slice
-           the fused kernels cover — path_tracer handles general maps):
-           dict(const=(er,eg,eb) scalars, rot=(9 scalars, world->env),
-           pdf=<texel solid-angle pdf scalar>, p_env=<static float>,
-           has_area=<static bool>).  NEE mixes the env strategy with
-           probability p_env and misses shade the constant radiance,
-           MIS-discounted exactly as path_tracer (same RNG channels).
+      env: environment emitter: dict(const=(er,eg,eb) scalars, rot=(9
+           scalars, world->env), pdf=<texel solid-angle pdf scalar>,
+           p_env=<static float>, has_area=<static bool>, and — for image
+           lat-long maps — tab=make_env_tab_fns(...) closures).  NEE
+           mixes the env strategy with probability p_env (constant maps
+           sample uniform-in-solid-angle; image maps invert the texel
+           CDF) and misses shade the environment radiance, MIS-discounted
+           exactly as path_tracer (same RNG channels, same op order).
 
     Semantics follow rayhit.rchit:666-797 + raygen.rgen:51-91 exactly, as
     path_tracer.trace_wavefront does (tests assert equivalence)."""
@@ -797,37 +926,58 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         light_pdf = light_pdf * select_pdf
 
         p_env = env["p_env"] if (env and cfg.nee) else 0.0
+        env_tab = env.get("tab") if env else None
         if env and cfg.nee:
-            # constant-env NEE strategy (path_tracer env mixture, 1x1 map:
-            # texel 0, direction uniform-in-solid-angle over the sphere —
-            # same ops/order as integrator/envmap.py:sample_envmap)
+            # env NEE strategy (path_tracer env mixture): constant (1x1)
+            # emitters sample uniform-in-solid-angle; image maps invert the
+            # texel CDF via a one-hot contraction — both reproduce the
+            # ops/order of integrator/envmap.py:sample_envmap exactly
             eu1 = _uniform(seed, bounce, _CH_ENV_U1)
             eu2 = _uniform(seed, bounce, _CH_ENV_U2)
             if env["has_area"]:
                 env_pick = _uniform(seed, bounce, _CH_ENV_SELECT) < p_env
             else:
                 env_pick = jnp.ones_like(hit)
-            jv = jnp.clip(eu1 / jnp.maximum(1.0, 1e-12), 0.0, 1.0)
-            phi = (2.0 * eu2 - 1.0) * M_PI
-            cos_t = 1.0 + jv * (-1.0 - 1.0)
-            theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
-            st_ = jnp.sin(theta)
-            ee = (st_ * jnp.sin(phi), jnp.cos(theta), -st_ * jnp.cos(phi))
+            if env_tab:
+                s_env = env_tab["sample"](eu1)
+                jv = jnp.clip(
+                    (eu1 - s_env["lo"])
+                    / jnp.maximum(s_env["hi"] - s_env["lo"], 1e-12),
+                    0.0, 1.0)
+                uu = (s_env["x"] + eu2) / env_tab["w"]
+                phi = (2.0 * uu - 1.0) * M_PI
+                c0_ = jnp.cos(M_PI * s_env["y"] / env_tab["h"])
+                c1_ = jnp.cos(M_PI * (s_env["y"] + 1.0) / env_tab["h"])
+                cos_t = c0_ + jv * (c1_ - c0_)
+            else:
+                jv = jnp.clip(eu1 / jnp.maximum(1.0, 1e-12), 0.0, 1.0)
+                phi = (2.0 * eu2 - 1.0) * M_PI
+                cos_t = 1.0 + jv * (-1.0 - 1.0)
+            # identities instead of arccos-then-sin/cos (arccos does not
+            # lower in Mosaic; envmap.sample_envmap uses the same forms)
+            ct_ = jnp.clip(cos_t, -1.0, 1.0)
+            st_ = jnp.sqrt(jnp.maximum(1.0 - ct_ * ct_, 0.0))
+            ee = (st_ * jnp.sin(phi), ct_, -st_ * jnp.cos(phi))
             rot = env["rot"]  # 9 scalars, world->env; env->world = transpose
             env_dir = (
                 ee[0] * rot[0] + ee[1] * rot[3] + ee[2] * rot[6],
                 ee[0] * rot[1] + ee[1] * rot[4] + ee[2] * rot[7],
                 ee[0] * rot[2] + ee[1] * rot[5] + ee[2] * rot[8],
             )
-            er, eg, eb = env["const"]
+            if env_tab:
+                env_l, _ = _env_eval_tab(env_tab, env["rot"], env_dir,
+                                         want_pdf=False)
+                env_pdf_v = s_env["pdf"]
+            else:
+                er, eg, eb = env["const"]
+                env_l = (jnp.zeros_like(ldist) + er,
+                         jnp.zeros_like(ldist) + eg,
+                         jnp.zeros_like(ldist) + eb)
+                env_pdf_v = env["pdf"]
             ldir = _where3(env_pick, env_dir, ldir)
             ldist = jnp.where(env_pick, jnp.float32(1e30), ldist)
-            light_emitted = _where3(
-                env_pick,
-                (jnp.zeros_like(ldist) + er, jnp.zeros_like(ldist) + eg,
-                 jnp.zeros_like(ldist) + eb),
-                light_emitted)
-            light_pdf = jnp.where(env_pick, env["pdf"] * p_env,
+            light_emitted = _where3(env_pick, env_l, light_emitted)
+            light_pdf = jnp.where(env_pick, env_pdf_v * p_env,
                                   light_pdf * (1.0 - p_env))
 
         w_light_local = _to_local(tg, bn, nn, ldir)
@@ -889,12 +1039,19 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
         e_g = jnp.where(hit, e_g, 0.0)
         e_b = jnp.where(hit, e_b, 0.0)
         if env:
-            # constant radiance on miss, MIS-discounted against the env
+            # environment radiance on miss, MIS-discounted against the env
             # NEE strategy (path_tracer env-miss block; miss.rmiss:15-18
-            # stubs this in the reference)
-            er, eg, eb = env["const"]
+            # stubs this in the reference).  Image maps evaluate bilinear
+            # radiance + nearest-texel pdf at the miss direction via
+            # one-hot contractions (envmap.eval_envmap/envmap_pdf ops).
+            if env_tab:
+                (er, eg, eb), m_pdf = _env_eval_tab(
+                    env_tab, env["rot"], d, want_pdf=cfg.nee)
+                pdf_e = (m_pdf * p_env) if cfg.nee else None
+            else:
+                er, eg, eb = env["const"]
+                pdf_e = env["pdf"] * p_env if cfg.nee else None
             if cfg.nee:
-                pdf_e = env["pdf"] * p_env
                 w_env = jnp.where(
                     (st["prev_nee_any"] != 0) & (~wd),
                     _power_heuristic(st["prev_pdf"], pdf_e), 1.0)
@@ -1010,10 +1167,14 @@ def make_bounce_body(cfg: RenderConfig, present: tuple, *, closest, any_hit,
 
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple,
-                 has_env: bool = False, has_area: bool = True):
+                 has_env: bool = False, has_area: bool = True,
+                 env_hw=None):
     """Returns the kernel closure.  All shape/config values are static; the
     progressive timestamp arrives as a traced SMEM scalar so successive
-    frames reuse one executable (raygen.rgen:37 semantics)."""
+    frames reuse one executable (raygen.rgen:37 semantics).  env_hw: (h, w)
+    of an image envmap — the kernel then takes an extra (N8, 10) VMEM
+    texel-table input (see _pack_env_table) and shades the environment
+    through one-hot contractions; None = constant-env / no-env path."""
     width, height = cfg.width, cfg.height
     spp = cfg.spp
     max_iters = spp * (cfg.max_depth + 1)
@@ -1035,7 +1196,11 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple,
     )
 
     def kernel(pix_ref, woop_ref, attr_ref, light_ref, cam_ref, ts_ref,
-               rad_r_ref, rad_g_ref, rad_b_ref, rays_ref):
+               *rest):
+        if env_hw:
+            env_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref = rest
+        else:
+            rad_r_ref, rad_g_ref, rad_b_ref, rays_ref = rest
         t0 = ts_ref[0, 0]  # uint32 scalar (progressive frame base)
         pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
         zf = jnp.zeros((SUB, LANES), jnp.float32)
@@ -1198,6 +1363,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple,
                 p_env=(0.5 if has_area else 1.0),
                 has_area=has_area,
             )
+            if env_hw:
+                env["tab"] = make_env_tab_fns(env_ref, *env_hw)
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -1217,11 +1384,26 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_lights: int, present: tuple,
     return kernel
 
 
-def _env_const_ok(scene: SceneData) -> bool:
-    """Envmap coverage of the fused kernels: none, or a CONSTANT emitter
-    (1x1 map — Mitsuba `constant`).  General lat-long maps need per-lane
-    texel gathers (no such VPU primitive) and stay on the XLA wavefront."""
-    return (not scene.has_envmap) or tuple(scene.envmap.shape[:2]) == (1, 1)
+def _env_image_hw(scene: SceneData):
+    """(h, w) when the scene's envmap takes the fused image-table path
+    (lat-long maps bigger than 1x1), else None (no env / constant)."""
+    if not scene.has_envmap:
+        return None
+    h, w = (int(x) for x in scene.envmap.shape[:2])
+    return None if (h, w) == (1, 1) else (h, w)
+
+
+def _env_fused_ok(scene: SceneData) -> bool:
+    """Envmap coverage of the fused kernels: none, a CONSTANT emitter
+    (1x1 map — Mitsuba `constant`), or a lat-long map small enough for
+    in-kernel one-hot texel contractions (<= MEGA_ENV_MAX_TEXELS).
+    Bigger maps stay on the XLA wavefront (per-lane texel gathers have no
+    cheap VPU primitive; the contraction cost scales with the row
+    count)."""
+    if not scene.has_envmap:
+        return True
+    h, w = scene.envmap.shape[:2]
+    return (h, w) == (1, 1) or h * w <= MEGA_ENV_MAX_TEXELS
 
 
 def mega_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -1229,7 +1411,7 @@ def mega_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     return (
         not cfg.use_bvh
         and not scene.has_textures
-        and _env_const_ok(scene)
+        and _env_fused_ok(scene)
         and cfg.light_sampling == "uniform"
         and scene.num_tris > 0
         and scene.num_tris <= MEGA_MAX_TRIS
@@ -1247,22 +1429,36 @@ def render_mega_rows(scene: SceneData, cfg: RenderConfig, pix,
     rows = pix.shape[0]
     assert rows % SUB == 0, rows
     ts = jnp.asarray(timestamp0, jnp.uint32).reshape(1, 1)
+    env_hw = _env_image_hw(scene)
     kernel = _make_kernel(cfg, scene.num_tris, scene.num_lights,
                           scene.kinds_present,
                           has_env=scene.has_envmap,
-                          has_area=scene.has_area_lights)
+                          has_area=scene.has_area_lights,
+                          env_hw=env_hw)
     blk = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    extra_in, extra_specs = [], []
+    if env_hw:
+        etab = _pack_env_table(scene)
+        extra_in, extra_specs = [etab], [pl.BlockSpec(
+            etab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    params = {}
+    if env_hw:
+        # the image-env one-hot contraction transients ((N8, 128) per
+        # in-flight lookup) exceed the 16 MB scoped-vmem default
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         grid=(rows // SUB,),
-        in_specs=[blk, smem, smem, smem, smem, smem],
+        in_specs=[blk, smem, smem, smem, smem, smem] + extra_specs,
         out_specs=[blk, blk, blk, blk],
         out_shape=[out_shape, out_shape, out_shape,
                    jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
         interpret=interpret,
-    )(pix, woop_t, attr, light, camv, ts)
+        **params,
+    )(pix, woop_t, attr, light, camv, ts, *extra_in)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))

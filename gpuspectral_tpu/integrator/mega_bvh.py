@@ -19,19 +19,19 @@ with ~20 tiny relayouts per bounce and scalar-serialized bin picks):
     compiled body, sequential executions, so a converged tile never
     sweeps another tile's bins.  Groups are 32 rays (4x8-pixel tiles) for
     VMEM-resident scenes and 128 rays (8x16 tiles) for streaming ones —
-    see _group_r for the measured rationale.  The plane <-> group-matrix
+    see _subgroups for the measured rationale.  The plane <-> group-matrix
     relayouts happen once per bounce for the whole block (batched).
   * Bin picks stay in the vector domain: the K nearest candidate bins are
     selected with (1,1)-shaped vector mins (no vector->scalar->vector
     round-trip between picks); the K scalar extractions for the sweep
     offsets happen in one batch, so their latency overlaps the sweeps.
-  * Bins are FAT: 256 slots for VMEM-resident scenes, 512 for
-    HBM-streaming ones (bvh/build.BIN_TARGET*).  Measured via
-    tools/sim_bins.py: halving/quartering the front-to-back round count of
-    the round-3 128-slot bins at near-equal swept slots — every round's
-    fixed cost (candidate scan, picks, loop control, DMA latency) is paid
-    1/2-1/4 as often, and each streaming DMA moves ~128 KB instead of
-    ~32 KB.
+  * Bin size runs in three bands (bvh/build.BIN_TARGET*): 128-slot for
+    small resident scenes (fine front-to-back culling), 256-slot for
+    large resident scenes (50-100 MB tables, where 1-2k bins make the
+    c_pad-wide candidate scans real money), 512-slot for HBM-streaming
+    scenes (each per-round DMA moves ~128 KB instead of ~32 KB).
+    Tables stay fully VMEM-resident up to MEGA_BVH_RESIDENT_BYTES
+    (~100 MB of the measured ~120 MB v5e budget, tools/probe_vmem.py).
 
 Traversal per group is the ftb scheme (bvh/ftb.py): an entry matrix
 tn[r, c] = slab entry distance of ray r into bin c, rounds that sweep the
@@ -163,7 +163,8 @@ def _inv_dir1(dx):
 def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                  n_lights: int, present: tuple, light_mode: str,
                  n_attr: int = _NA, stream: bool = False, grad_cfg=None,
-                 has_env: bool = False, has_area: bool = True):
+                 has_env: bool = False, has_area: bool = True,
+                 env_hw=None):
     """grad_cfg (path-replay backward mode): dict(rows=<static tuple of
     diffuse bsdf rows>, n_lights=<emission-grad light count, 0 to
     disable>).  The kernel then takes per-lane cotangent planes + the grad
@@ -200,9 +201,12 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
 
     def kernel(pix_ref, bounds_ref, gat_ref, light_ref, cam_ref,
                ts_ref, *rest):
+        rest = list(rest)
+        kd_ref = rest.pop(0) if grad_cfg else None
+        env_ref = rest.pop(0) if env_hw else None
         if grad_cfg:
-            (kd_ref, rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
-             part_ref), scratch = (rest[:6], rest[6:])
+            (rad_r_ref, rad_g_ref, rad_b_ref, rays_ref,
+             part_ref), scratch = (rest[:5], rest[5:])
         else:
             (rad_r_ref, rad_g_ref, rad_b_ref, rays_ref), scratch = (
                 rest[:4], rest[4:])
@@ -685,6 +689,10 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
                 p_env=(0.5 if has_area else 1.0),
                 has_area=has_area,
             )
+            if env_hw:
+                from .mega import make_env_tab_fns
+
+                env["tab"] = make_env_tab_fns(env_ref, *env_hw)
         body = make_bounce_body(
             cfg, present,
             closest=closest,
@@ -882,12 +890,12 @@ def _stream_bin_scratch_bytes(scene: SceneData) -> int:
 
 def mega_bvh_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Whether the fused BVH megakernel covers this (scene, config)."""
-    from .mega import _env_const_ok
+    from .mega import _env_fused_ok
 
     base = (
         cfg.use_bvh
-        and _env_const_ok(scene)  # constant emitters fused; lat-long maps
-        # need per-lane texel gathers -> wavefront path
+        and _env_fused_ok(scene)  # constant emitters + small lat-long
+        # maps fused (one-hot texel contractions); big maps -> wavefront
         and cfg.light_sampling in ("uniform", "power")
         and scene.num_tris > 0
         and scene.num_lights < (1 << 16)
@@ -971,11 +979,15 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
     n_attr = _NA_TEX if scene.has_textures else _NA  # logical row count
     n_rows = -(-(n_attr + 12) // 8) * 8
     assert gat.shape[1 if stream else 0] == n_rows
+    from .mega import _env_image_hw, _pack_env_table
+
+    env_hw = _env_image_hw(scene)
     kernel = _make_kernel(cfg, scene.bvh_bins, scene.bvh_bin_slots, c_pad,
                           scene.num_lights, scene.kinds_present, light_mode,
                           n_attr=n_attr, stream=stream,
                           has_env=scene.has_envmap,
-                          has_area=scene.has_area_lights)
+                          has_area=scene.has_area_lights,
+                          env_hw=env_hw)
 
     blk = pl.BlockSpec((1, ROWS, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -990,12 +1002,16 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
         nbuf = 2
         scratch = ([pltpu.VMEM((n_rows, slots), jnp.float32)] * nbuf
                    + [pltpu.SemaphoreType.DMA] * nbuf)
+    extra_in, extra_specs = [], []
+    if env_hw:
+        etab = _pack_env_table(scene)
+        extra_in, extra_specs = [etab], [full(etab)]
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[blk, full(bounds),
                   hbm if stream else full(gat),
-                  full(light), smem, smem],
+                  full(light), smem, smem] + extra_specs,
         out_specs=[blk, blk, blk, blk],
         out_shape=[out_shape, out_shape, out_shape,
                    jax.ShapeDtypeStruct((n_blocks, ROWS, LANES),
@@ -1004,7 +1020,7 @@ def render_mega_bvh_blocks(scene: SceneData, cfg: RenderConfig, pix,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=118 * 1024 * 1024),
         interpret=interpret,
-    )(pix, bounds, gat, light, camv, ts)
+    )(pix, bounds, gat, light, camv, ts, *extra_in)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))

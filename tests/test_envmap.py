@@ -281,9 +281,92 @@ def test_constant_env_eligibility_gates():
     cfgb = cfg.replace(use_bvh=True)
     assert mega_bvh_eligible(scene, cfgb)
     assert not mega_bvh_grad_eligible(scene, cfgb)
-    # a general lat-long map keeps BOTH fused kernels off
+    # small lat-long maps are fused-eligible too (round 5: one-hot texel
+    # contractions), but replay-grad-INeligible like constant maps
     b = _open_scene_builder()
     b.set_envmap(np.broadcast_to(np.float32([1, 1, 1]), (4, 8, 3)).copy())
     wide = b.build()
-    assert not mega_eligible(wide, cfg)
-    assert not mega_bvh_eligible(wide, cfgb)
+    assert mega_eligible(wide, cfg)
+    assert mega_bvh_eligible(wide, cfgb)
+    assert not mega_grad_eligible(wide, cfg)
+    assert not mega_bvh_grad_eligible(wide, cfgb)
+
+
+@pytest.mark.parametrize("with_light", [False, True])
+def test_image_env_fused_matches_wavefront(with_light):
+    """IMAGE lat-long maps run through the fused megakernels (round 5):
+    CDF texel inversion, bilinear miss/NEE radiance and nearest-texel pdf
+    are one-hot contractions over the (N8, 10) env table — the op order
+    mirrors integrator/envmap.py exactly (the shared arccos azimuth,
+    envmap._dir_uv), so interpret mode matches the wavefront bitwise."""
+    from gpuspectral_tpu.integrator.mega import (
+        _env_image_hw, mega_eligible, render_mega)
+    from gpuspectral_tpu.integrator.mega_bvh import (
+        mega_bvh_eligible, render_mega_bvh)
+
+    # the open box of _env_box_builder, but under an IMAGE map: a sky
+    # gradient with a bright localized "sun" texel so CDF importance
+    # sampling is non-uniform
+    bb = SceneBuilder()
+    s = 1.0
+    quads = [
+        [[-s, 0, -s], [-s, 0, s], [s, 0, s]], [[-s, 0, -s], [s, 0, s], [s, 0, -s]],
+        [[-s, 0, -s], [s, 0, -s], [s, 2, -s]], [[-s, 0, -s], [s, 2, -s], [-s, 2, -s]],
+        [[-s, 0, -s], [-s, 2, -s], [-s, 2, s]], [[-s, 0, -s], [-s, 2, s], [-s, 0, s]],
+    ]
+    v = np.asarray(quads, np.float32)
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    nrm = np.broadcast_to(n[:, None, :], (v.shape[0], 3, 3)).copy()
+    bidx = bb.add_bsdf(diffuse([0.6, 0.4, 0.3]))
+    bb.add_object(v, nrm, None, np.eye(4, dtype=np.float32), bidx)
+    if with_light:
+        lv = np.asarray(
+            [[[-0.2, 1.9, -0.2], [0.2, 1.9, -0.2], [0.2, 1.9, 0.2]]],
+            np.float32)
+        ln = np.broadcast_to(np.float32([0, -1, 0]), (1, 3, 3)).copy()
+        bb.add_object(lv, ln, None, np.eye(4, dtype=np.float32), bidx,
+                      emission=(6.0, 6.0, 6.0))
+    h, w = 8, 16
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    env = np.stack([
+        0.4 + 0.5 * yy / h, 0.3 + 0.2 * xx / w,
+        np.full((h, w), 0.6)], axis=-1).astype(np.float32)
+    env[2, 3] = (25.0, 20.0, 5.0)  # "sun"
+    bb.set_envmap(env)
+    to_world = np.eye(4, dtype=np.float32)
+    to_world[:3, 3] = (0.0, 1.0, 3.0)
+    to_world[2, 2] = -1.0
+    bb.set_camera(to_world, float(np.deg2rad(60.0)))
+    scene = bb.build()
+    assert _env_image_hw(scene) == (h, w)
+
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       ray_batch=256, jitter=False)
+    assert mega_eligible(scene, cfg)
+    img_w = np.asarray(render_image(scene, cfg))
+    img_m = np.asarray(render_mega(scene, cfg, 0, interpret=True)[0])
+    assert np.isfinite(img_m).all()
+    assert np.allclose(img_w, img_m, atol=2e-5), np.abs(img_w - img_m).max()
+
+    cfgb = cfg.replace(use_bvh=True, light_sampling="uniform")
+    assert mega_bvh_eligible(scene, cfgb)
+    img_wb = np.asarray(render_image(scene, cfgb))
+    img_b = np.asarray(render_mega_bvh(scene, cfgb, 0, interpret=True)[0])
+    assert np.allclose(img_wb, img_b, atol=2e-5), np.abs(img_wb - img_b).max()
+
+
+def test_big_image_env_stays_on_wavefront():
+    """Maps past MEGA_ENV_MAX_TEXELS are ineligible for the fused kernels
+    (the one-hot contraction cost scales with the texel-row count)."""
+    from gpuspectral_tpu.integrator.mega import (
+        MEGA_ENV_MAX_TEXELS, mega_eligible)
+
+    b = _open_scene_builder()
+    big = np.random.default_rng(0).uniform(
+        0.1, 1.0, (64, 64, 3)).astype(np.float32)
+    assert big.shape[0] * big.shape[1] > MEGA_ENV_MAX_TEXELS
+    b.set_envmap(big)
+    scene = b.build()
+    cfg = RenderConfig(width=8, height=8, spp=1, max_depth=2, ray_batch=64)
+    assert not mega_eligible(scene, cfg)
