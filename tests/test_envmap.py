@@ -207,9 +207,10 @@ def test_sample_envmap_exact_mc_integral():
 import pytest  # noqa: E402
 
 
-def _env_box_builder(with_light: bool):
-    """A small box open on one side under a constant emitter, optionally
-    with an area light — exercises the env/area NEE mixture."""
+def _env_box_builder(with_light: bool, envmap=None):
+    """A small box open on one side under an environment emitter
+    (constant by default, or the given lat-long map), optionally with an
+    area light — exercises the env/area NEE mixture."""
     b = SceneBuilder()
     s = 1.0
     quads = [
@@ -231,7 +232,9 @@ def _env_box_builder(with_light: bool):
         ln = np.broadcast_to(np.float32([0, -1, 0]), (1, 3, 3)).copy()
         b.add_object(lv, ln, None, np.eye(4, dtype=np.float32), bidx,
                      emission=(6.0, 6.0, 6.0))
-    b.set_envmap(np.broadcast_to(np.float32([1.5, 0.8, 0.4]), (1, 1, 3)))
+    if envmap is None:
+        envmap = np.broadcast_to(np.float32([1.5, 0.8, 0.4]), (1, 1, 3))
+    b.set_envmap(envmap)
     to_world = np.eye(4, dtype=np.float32)
     to_world[:3, 3] = (0.0, 1.0, 3.0)
     to_world[2, 2] = -1.0
@@ -307,38 +310,13 @@ def test_image_env_fused_matches_wavefront(with_light):
     # the open box of _env_box_builder, but under an IMAGE map: a sky
     # gradient with a bright localized "sun" texel so CDF importance
     # sampling is non-uniform
-    bb = SceneBuilder()
-    s = 1.0
-    quads = [
-        [[-s, 0, -s], [-s, 0, s], [s, 0, s]], [[-s, 0, -s], [s, 0, s], [s, 0, -s]],
-        [[-s, 0, -s], [s, 0, -s], [s, 2, -s]], [[-s, 0, -s], [s, 2, -s], [-s, 2, -s]],
-        [[-s, 0, -s], [-s, 2, -s], [-s, 2, s]], [[-s, 0, -s], [-s, 2, s], [-s, 0, s]],
-    ]
-    v = np.asarray(quads, np.float32)
-    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
-    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
-    nrm = np.broadcast_to(n[:, None, :], (v.shape[0], 3, 3)).copy()
-    bidx = bb.add_bsdf(diffuse([0.6, 0.4, 0.3]))
-    bb.add_object(v, nrm, None, np.eye(4, dtype=np.float32), bidx)
-    if with_light:
-        lv = np.asarray(
-            [[[-0.2, 1.9, -0.2], [0.2, 1.9, -0.2], [0.2, 1.9, 0.2]]],
-            np.float32)
-        ln = np.broadcast_to(np.float32([0, -1, 0]), (1, 3, 3)).copy()
-        bb.add_object(lv, ln, None, np.eye(4, dtype=np.float32), bidx,
-                      emission=(6.0, 6.0, 6.0))
     h, w = 8, 16
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     env = np.stack([
         0.4 + 0.5 * yy / h, 0.3 + 0.2 * xx / w,
         np.full((h, w), 0.6)], axis=-1).astype(np.float32)
     env[2, 3] = (25.0, 20.0, 5.0)  # "sun"
-    bb.set_envmap(env)
-    to_world = np.eye(4, dtype=np.float32)
-    to_world[:3, 3] = (0.0, 1.0, 3.0)
-    to_world[2, 2] = -1.0
-    bb.set_camera(to_world, float(np.deg2rad(60.0)))
-    scene = bb.build()
+    scene = _env_box_builder(with_light, envmap=env)
     assert _env_image_hw(scene) == (h, w)
 
     cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
