@@ -671,11 +671,11 @@ def _make_kernel(cfg: RenderConfig, n_bins: int, slots: int, c_pad: int,
         if grad_cfg:
             from .mega_grad import make_diffuse_grad_hook
 
-            # g_pix=None: accumulate un-contracted gradient partials — the
+            # the hook accumulates un-contracted gradient partials — the
             # cotangent contraction happens outside the kernel, so this
             # single pass IS the whole gradient computation (round 5)
             grad_hook = make_diffuse_grad_hook(
-                list(grad_cfg["rows"]), grad_cfg["n_lights"], None, kd_ref,
+                list(grad_cfg["rows"]), grad_cfg["n_lights"], kd_ref,
                 bidx_row=n_attr - 1)
         else:
             grad_hook = None

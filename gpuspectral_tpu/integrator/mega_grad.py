@@ -107,9 +107,8 @@ def mega_grad_eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
-def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
-                           bidx_row):
-    """Shared path-replay gradient hook (mega.make_bounce_body grad_hook).
+def make_diffuse_grad_hook(grad_rows, n_grad_lights, kd_ref, bidx_row):
+    """Shared fwdgrad hook (mega.make_bounce_body grad_hook).
 
     grad_rows: static list of DIFFUSE bsdf-table rows to differentiate.
     The counting identity stays exact on MIXED scenes: the path throughput
@@ -120,16 +119,13 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
     (0 disables them: big-light-count scenes get kd-only gradients).
     bidx_row: attr row holding the hit's bsdf-table index.
 
-    g_pix: per-lane cotangent planes, or None (round 5): the cotangent
-    enters every accumulation LINEARLY, so with g_pix=None the planes
-    accumulate un-contracted per-lane gradient PARTIALS — the forward pass
-    then carries the whole gradient computation and the g contraction
-    happens outside the kernel (one einsum), eliminating the separate
-    replay-backward launch (measured: backward ~= forward, so this halves
-    the gradient step)."""
+    The loss cotangent enters the gradient LINEARLY, so the planes
+    accumulate un-contracted per-lane PARTIALS (round 5): the forward
+    pass carries the whole gradient computation and the cotangent
+    contraction happens outside the kernel (_contract_partials) —
+    eliminating the rounds-2-4 replay-backward launch, which measured
+    the same cost as a forward."""
     b2f = lambda b: jnp.where(b, 1.0, 0.0)  # noqa: E731
-    gs = ((lambda c, x: g_pix[c] * x) if g_pix is not None
-          else (lambda c, x: x))
 
     def grad_hook(st, ctx):
         a = ctx["a"]
@@ -159,8 +155,8 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
                 dfl = ctx["f_light"][c] / jnp.maximum(kd_ref[i, c], _KD_EPS)
                 direct = neem * selb * nee_s * W[c] * ctx["lemit"][c] * dfl
                 suffix = accf * e[c] * nb / jnp.maximum(kd_ref[i, c], _KD_EPS)
-                st[f"gkd_{i}_{c}"] = st[f"gkd_{i}_{c}"] + gs(
-                    c, direct + suffix)
+                st[f"gkd_{i}_{c}"] = st[f"gkd_{i}_{c}"] + (
+                    direct + suffix)
             st[f"n_{i}"] = nbi + jnp.where(
                 ctx["cont"] & (bidx == b), 1, 0)
         for li in range(n_grad_lights):
@@ -168,11 +164,11 @@ def make_diffuse_grad_hook(grad_rows, n_grad_lights, g_pix, kd_ref,
             sel_nee = neem * b2f(ctx["lidx"] == li)
             for c in range(3):
                 # d e/d tri_emission[tri(l), c] (emitter-hit term)
-                st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + gs(
-                    c, sel_hit * emit_coeff * W[c])
+                st[f"gte_{li}_{c}"] = st[f"gte_{li}_{c}"] + (
+                    sel_hit * emit_coeff * W[c])
                 # d e/d light_emission[l, c] (NEE term)
-                st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + gs(
-                    c, sel_nee * nee_s * ctx["f_light"][c] * W[c])
+                st[f"gle_{li}_{c}"] = st[f"gle_{li}_{c}"] + (
+                    sel_nee * nee_s * ctx["f_light"][c] * W[c])
         return st
 
     return grad_hook
@@ -344,7 +340,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_tris: int, n_lights: int,
                     1.0 / n_lights, lidx)
 
         grad_hook = make_diffuse_grad_hook(
-            list(range(B)), L, None, kd_ref, bidx_row=_NA)
+            list(range(B)), L, kd_ref, bidx_row=_NA)
 
         body = make_bounce_body(
             cfg, (BSDF_DIFFUSE,),
